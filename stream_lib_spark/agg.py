@@ -1,0 +1,264 @@
+"""Spark aggregation layer: sketch states as distributed aggregates.
+
+Topology (the reference's advertised map-reduce contract,
+``quantile/TDigest.java:48``, made explicit):
+
+1. **partial** — ``mapInPandas`` over each input partition: vectorized
+   numpy update of one sketch per (grouping key) per partition, emitted
+   as a single BinaryType row per key.  This is the map-side combine:
+   the shuffle moves O(partitions × keys) sketch blobs, never rows.
+2. **(optional) fan-in** — for global aggregates over many partitions,
+   an intermediate ``groupBy(pmod(partial_id, fan_in))`` merge level
+   bounds reduce-side state (SURVEY.md §4 item 2).
+3. **merge** — ``groupBy(keys).applyInPandas``: fold partials with the
+   sketch's monoid merge.
+4. **finalize** — estimate/quantile/top-k, driver-side or via UDF.
+
+Hashing happens **JVM-side** (``F.xxhash64``, whole-stage codegen) by
+default, so the Python worker only ever sees int64 hashes / float64
+values through Arrow — no per-row Python anywhere.  A murmur64 mode
+(``hash_mode='murmur64'``) hashes in numpy for bit-parity with the
+reference's MurmurHash64A dispatch (``hash/MurmurHash.java:135-217``).
+
+Skew: value-skew in the data (hot conv_id/tool values) is absorbed by
+step 1 — every input partition contributes at most one partial per key,
+so a key seen in every row still produces only #partitions blobs.
+``salted_split`` is provided for the *exact* aggregation paths (oracle
+queries, top-k reconciliation) where Spark's groupBy would shuffle raw
+rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from .hashing import murmur64a_array
+from .sketches.base import unpack_header, KIND_HLLPP, KIND_CMS, KIND_TDIGEST, KIND_KLL, KIND_BLOOM, KIND_SPACESAVING
+from .sketches.bloom import BloomFilter
+from .sketches.cms import CountMinSketch
+from .sketches.hll import HllPlusPlus
+from .sketches.kll import KLL
+from .sketches.spacesaving import SpaceSaving
+from .sketches.tdigest import TDigest
+
+STATE_COL = "sketch"
+
+_KIND_TO_CLS = {
+    KIND_HLLPP: HllPlusPlus,
+    KIND_CMS: CountMinSketch,
+    KIND_TDIGEST: TDigest,
+    KIND_KLL: KLL,
+    KIND_BLOOM: BloomFilter,
+    KIND_SPACESAVING: SpaceSaving,
+}
+
+
+def sketch_from_bytes(blob: bytes):
+    _, kind = unpack_header(blob)
+    return _KIND_TO_CLS[kind].from_bytes(blob)
+
+
+class SketchSpec:
+    """Declarative sketch constructor shipped to executors (picklable;
+    equivalent of the reference's IBuilder, ``util/IBuilder.java``).
+
+    kind: 'hll' | 'cms' | 'tdigest' | 'kll' | 'bloom' | 'spacesaving'
+    input: 'hash' (64-bit hash of item), 'value' (float64), 'item' (raw)
+    """
+
+    _FACTORIES = {
+        "hll": (lambda p: HllPlusPlus(**p), "hash"),
+        "cms": (lambda p: CountMinSketch.from_accuracy(**p) if "eps" in p else CountMinSketch(**p), "hash"),
+        "tdigest": (lambda p: TDigest(**p), "value"),
+        "kll": (lambda p: KLL(**p), "value"),
+        "bloom": (lambda p: BloomFilter.for_capacity(**p) if "fpp" in p else BloomFilter(**p), "hash"),
+        "spacesaving": (lambda p: SpaceSaving(**p), "item"),
+    }
+
+    def __init__(self, kind: str, **params):
+        if kind not in self._FACTORIES:
+            raise ValueError(f"unknown sketch kind {kind!r}")
+        self.kind = kind
+        self.params = params
+
+    @property
+    def input_mode(self) -> str:
+        return self._FACTORIES[self.kind][1]
+
+    def new(self):
+        return self._FACTORIES[self.kind][0](self.params)
+
+    def update(self, sk, arr: np.ndarray, counts: np.ndarray | None = None):
+        mode = self.input_mode
+        if mode == "hash":
+            sk.update_hashed(arr) if self.kind != "bloom" else sk.add_hashed(arr)
+        elif mode == "value":
+            sk.add_values(arr)
+        else:  # item: arr = items, counts = exact in-batch frequencies
+            sk.update_batch(arr, counts if counts is not None else np.ones(len(arr), dtype=np.int64))
+        return sk
+
+
+def _prepare_input(df: DataFrame, keys: list[str], col: str, spec: SketchSpec,
+                   hash_mode: str = "xxhash64") -> tuple[DataFrame, bool]:
+    """Project to (keys..., __in) with JVM-side hashing / casting where
+    possible.  Returns (df, python_hash) — python_hash=True means the
+    Python side must murmur-hash the raw items itself."""
+    mode = spec.input_mode
+    kc = [F.col(k) for k in keys]
+    df = df.where(F.col(col).isNotNull())  # offer(null) is a no-op; also
+    # keeps xxhash64(NULL)==seed from polluting the hash domain
+    if mode == "hash":
+        if hash_mode == "xxhash64":
+            return df.select(*kc, F.xxhash64(F.col(col)).alias("__in")), False
+        # murmur parity mode: ship raw strings, hash vectorized in numpy
+        return df.select(*kc, F.col(col).cast("string").alias("__in")), True
+    if mode == "value":
+        return df.select(*kc, F.col(col).cast("double").alias("__in")), False
+    return df.select(*kc, F.col(col).cast("string").alias("__in")), False
+
+
+def sketch_partials(df: DataFrame, keys: list[str], col: str, spec: SketchSpec,
+                    hash_mode: str = "xxhash64") -> DataFrame:
+    """Partition-local sketch build: one (keys..., sketch BinaryType)
+    row per key per input partition.  Vectorized: numpy kernels over
+    whole Arrow batches, pandas groupby for the keyed split."""
+    prepared, python_hash = _prepare_input(df, keys, col, spec, hash_mode)
+    key_fields = [prepared.schema[k] for k in keys]
+    out_schema = T.StructType(key_fields + [T.StructField(STATE_COL, T.BinaryType())])
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        states: dict[tuple, object] = {}
+
+        def upd(key: tuple, series: pd.Series):
+            arr = series.to_numpy()
+            if spec.input_mode == "hash":
+                if python_hash:
+                    arr = murmur64a_array(arr.astype(object)).view(np.int64)
+                else:
+                    arr = arr.astype(np.int64, copy=False)
+            elif spec.input_mode == "value":
+                arr = arr.astype(np.float64, copy=False)
+            sk = states.get(key)
+            if sk is None:
+                sk = states[key] = spec.new()
+            if spec.input_mode == "item":
+                vc = pd.Series(arr).value_counts()
+                spec.update(sk, vc.index.to_numpy(), vc.to_numpy())
+            else:
+                spec.update(sk, arr[~pd.isna(arr)] if arr.dtype == object else arr)
+
+        for pdf in batches:
+            col_in = pdf["__in"]
+            mask = col_in.notna()
+            if not mask.all():
+                pdf = pdf[mask]
+                col_in = pdf["__in"]
+            if len(pdf) == 0:
+                continue
+            if keys:
+                for key, sub in pdf.groupby(keys, dropna=False, sort=False)["__in"]:
+                    upd(key if isinstance(key, tuple) else (key,), sub)
+            else:
+                upd((), col_in)
+        rows = [list(k) + [s.to_bytes()] for k, s in states.items()]
+        if not rows and not keys:
+            rows = [[spec.new().to_bytes()]]
+        yield pd.DataFrame(rows, columns=keys + [STATE_COL])
+
+    return prepared.mapInPandas(build, schema=out_schema)
+
+
+def merge_partials(partials: DataFrame, keys: list[str], spec: SketchSpec,
+                   fan_in: int | None = None,
+                   finalize_compress: bool = True) -> DataFrame:
+    """Tree-merge partial sketches to one row per key.
+
+    ``fan_in``: insert an intermediate merge level over buckets of
+    partials (bounds reduce-side fan-in for global aggregates across
+    huge partition counts).  Bucketing is deterministic
+    (pmod(xxhash64 of monotonically_increasing_id), fan_in) only in
+    topology, not in result: all merges are commutative monoids.
+    """
+    key_fields = [partials.schema[k] for k in keys]
+    out_schema = T.StructType(key_fields + [T.StructField(STATE_COL, T.BinaryType())])
+
+    def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        blobs = pdf[STATE_COL]
+        sk = sketch_from_bytes(blobs.iloc[0])
+        for b in blobs.iloc[1:]:
+            sk.merge(sketch_from_bytes(b))
+        if finalize_compress and isinstance(sk, TDigest):
+            sk.compress()
+        head = pdf[keys].iloc[:1].reset_index(drop=True) if keys else pd.DataFrame(index=[0])
+        head[STATE_COL] = [sk.to_bytes()]
+        return head
+
+    if fan_in:
+        bucket = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(fan_in)).alias("__bkt")
+        mid_schema = T.StructType(
+            key_fields + [T.StructField("__bkt", T.IntegerType()), T.StructField(STATE_COL, T.BinaryType())]
+        )
+
+        def merge_mid(pdf: pd.DataFrame) -> pd.DataFrame:
+            blobs = pdf[STATE_COL]
+            sk = sketch_from_bytes(blobs.iloc[0])
+            for b in blobs.iloc[1:]:
+                sk.merge(sketch_from_bytes(b))
+            head = pdf[keys + ["__bkt"]].iloc[:1].reset_index(drop=True)
+            head[STATE_COL] = [sk.to_bytes()]
+            return head
+
+        partials = (
+            partials.withColumn("__bkt", bucket.cast("int"))
+            .groupBy(*(keys + ["__bkt"]))
+            .applyInPandas(merge_mid, schema=mid_schema)
+            .drop("__bkt")
+        )
+
+    if keys:
+        return partials.groupBy(*keys).applyInPandas(merge_fn, schema=out_schema)
+
+    # Global aggregate: explicit single-reducer fold via repartition(1) +
+    # mapInPandas. The exchange moves only sketch blobs (one per input
+    # partition / fan-in bucket); partial building upstream stays fully
+    # parallel. Guarantees exactly one output row even on empty input.
+    def merge_all(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sk = None
+        for pdf in batches:
+            for b in pdf[STATE_COL]:
+                s = sketch_from_bytes(bytes(b))
+                sk = s if sk is None else sk.merge(s)
+        if sk is None:
+            sk = spec.new()
+        if finalize_compress and isinstance(sk, TDigest):
+            sk.compress()
+        yield pd.DataFrame({STATE_COL: [sk.to_bytes()]})
+
+    return partials.repartition(1).mapInPandas(merge_all, schema=out_schema)
+
+
+def sketch_agg(df: DataFrame, keys: list[str], col: str, spec: SketchSpec,
+               hash_mode: str = "xxhash64", fan_in: int | None = None) -> DataFrame:
+    """Full two-level sketch aggregation → (keys..., sketch)."""
+    return merge_partials(sketch_partials(df, keys, col, spec, hash_mode), keys, spec, fan_in)
+
+
+def collect_sketch(df_or_merged: DataFrame):
+    """Collect a single global sketch blob to the driver (one small
+    row — NOT a data collect)."""
+    row = df_or_merged.select(STATE_COL).collect()
+    if len(row) != 1:
+        raise ValueError(f"expected one merged sketch row, got {len(row)}")
+    return sketch_from_bytes(bytes(row[0][0]))
+
+
+def salted_split(df: DataFrame, key: str, salts: int, col_name: str = "__salt") -> DataFrame:
+    """Explicit skew salting for exact aggregation paths: adds a
+    deterministic sub-key so a hot `key` spreads over `salts` reducers;
+    aggregate by (key, salt) then re-aggregate by key (north rule)."""
+    return df.withColumn(col_name, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salts)).cast("int"))

@@ -1,0 +1,79 @@
+"""SparkSession helpers: build a tuned local session and ship the
+library to executors.
+
+On a real cluster the library is distributed with
+``spark-submit --py-files stream_lib_spark.zip job.py`` (north rule).
+``ensure_shipped`` automates the same mechanism for interactive /
+driver-created sessions: it zips the installed package and registers it
+with ``sc.addPyFile`` so executor Python workers can unpickle our UDF
+closures regardless of the driver's cwd/PYTHONPATH.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+_SHIPPED = set()
+
+
+def package_zip() -> str:
+    """Zip the stream_lib_spark package into a temp file (cached per
+    process) and return the path."""
+    import stream_lib_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(stream_lib_spark.__file__))
+    out = os.path.join(tempfile.gettempdir(), "stream_lib_spark-pyfiles.zip")
+    if not os.path.exists(out):
+        tmp = out + ".tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                if "__pycache__" in root:
+                    continue
+                for f in files:
+                    if not f.endswith(".py"):
+                        continue
+                    full = os.path.join(root, f)
+                    rel = os.path.join("stream_lib_spark", os.path.relpath(full, pkg_dir))
+                    zf.write(full, rel)
+        os.replace(tmp, out)
+    return out
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    """Make stream_lib_spark importable on executors (idempotent)."""
+    sc = spark.sparkContext
+    key = sc.applicationId
+    if key in _SHIPPED:
+        return
+    sc.addPyFile(package_zip())
+    _SHIPPED.add(key)
+
+
+def get_spark(app_name: str = "stream_lib_spark", cpus: int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Tuned local session (sandbox stand-in for the cluster deploy;
+    see /opt/skills/guides/pyspark_guide.md session pattern)."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    ensure_shipped(spark)
+    return spark

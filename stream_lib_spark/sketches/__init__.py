@@ -1,0 +1,17 @@
+from .base import SketchMergeError
+from .bloom import BloomFilter
+from .cms import CountMinSketch
+from .hll import HllPlusPlus
+from .kll import KLL
+from .spacesaving import SpaceSaving
+from .tdigest import TDigest
+
+__all__ = [
+    "BloomFilter",
+    "CountMinSketch",
+    "HllPlusPlus",
+    "KLL",
+    "SketchMergeError",
+    "SpaceSaving",
+    "TDigest",
+]

@@ -1,0 +1,117 @@
+"""Bloom filter over a numpy bitset.
+
+Mirrors the reference's Cassandra-lineage filter
+(``membership/BloomFilter.java:27-196``):
+
+- bucket selection via Kirsch–Mitzenmacher double hashing
+  ``bucket_i = (h1 + i*h2) mod m`` (``membership/Filter.java:79-87``);
+- k (hash count) chosen from buckets-per-element, maximizing
+  ``-k ln(1 - e^(-kn/m))`` — we use the closed form
+  ``k = round(ln2 · m/n)`` clamped to >=1, equivalent to the reference's
+  precomputed table (``membership/BloomCalculations.java:36-39,79-85``);
+- sizing from target false-positive rate:
+  ``m/n = -ln(fpp)/ln(2)^2`` (``BloomCalculations.java:91-151``);
+- merge = bitwise OR, same (m, k) required
+  (``BloomFilter.java:121-127``) — exactly associative, byte-identical
+  under any merge grouping;
+- analytic FP rate ``(1 - e^(-kn/m))^k`` (``BloomCalculations.java:147-151``).
+
+No false negatives, ever — this is the exactness contract the Spark
+query layer relies on for membership pre-filters.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+from ..hashing import splitmix64
+from .base import HEADER_SIZE, KIND_BLOOM, SketchMergeError, pack_header, unpack_header
+
+U64 = np.uint64
+
+
+def optimal_k(m_bits: int, n_elements: int) -> int:
+    if n_elements <= 0:
+        return 1
+    return max(1, round(math.log(2.0) * m_bits / n_elements))
+
+
+def bits_for_fpp(n_elements: int, fpp: float) -> int:
+    m = -n_elements * math.log(fpp) / (math.log(2.0) ** 2)
+    return max(8, int(math.ceil(m / 8.0)) * 8)  # byte-aligned
+
+
+def analytic_fpp(m_bits: int, k: int, n_elements: int) -> float:
+    return (1.0 - math.exp(-k * n_elements / m_bits)) ** k
+
+
+class BloomFilter:
+    def __init__(self, m_bits: int, k: int, seed: int = 0, bits: np.ndarray | None = None,
+                 count: int = 0):
+        if m_bits % 8:
+            m_bits += 8 - m_bits % 8
+        self.m_bits = m_bits
+        self.k = k
+        self.seed = seed
+        self.bits = np.zeros(m_bits // 8, dtype=np.uint8) if bits is None else bits
+        self.count = count  # elements added (for analytic fpp reporting)
+
+    @classmethod
+    def for_capacity(cls, n_elements: int, fpp: float, seed: int = 0) -> "BloomFilter":
+        m = bits_for_fpp(n_elements, fpp)
+        return cls(m, optimal_k(m, n_elements), seed=seed)
+
+    # ---------------------------------------------------------------- buckets
+
+    def _bucket_matrix(self, hashes: np.ndarray) -> np.ndarray:
+        """(k, n) bit positions via double hashing from one 64-bit hash."""
+        h = hashes.view(U64) if hashes.dtype == np.int64 else hashes.astype(U64, copy=False)
+        s1, s2 = splitmix64(np.array([self.seed, self.seed + 1], dtype=np.int64).view(U64))
+        with np.errstate(over="ignore"):
+            h1 = splitmix64(h ^ s1)
+            h2 = splitmix64(h ^ s2) | U64(1)
+            ks = np.arange(self.k, dtype=U64)[:, None]
+            pos = (h1[None, :] + ks * h2[None, :]) % U64(self.m_bits)
+        return pos.astype(np.int64)
+
+    # ---------------------------------------------------------------- ops
+
+    def add_hashed(self, hashes: np.ndarray) -> "BloomFilter":
+        pos = self._bucket_matrix(hashes).ravel()
+        np.bitwise_or.at(self.bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        self.count += len(hashes)
+        return self
+
+    def contains_hashed(self, hashes: np.ndarray) -> np.ndarray:
+        pos = self._bucket_matrix(hashes)  # (k, n)
+        hit = (self.bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+        return hit.all(axis=0)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        if (self.m_bits, self.k, self.seed) != (other.m_bits, other.k, other.seed):
+            raise SketchMergeError("Bloom m/k/seed mismatch — cannot OR")
+        np.bitwise_or(self.bits, other.bits, out=self.bits)
+        self.count += other.count
+        return self
+
+    def fill_ratio(self) -> float:
+        return float(np.unpackbits(self.bits).mean())
+
+    # ---------------------------------------------------------------- bytes
+
+    def to_bytes(self) -> bytes:
+        head = pack_header(KIND_BLOOM) + struct.pack("<QIIq", self.m_bits, self.k, self.seed, self.count)
+        return head + self.bits.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "BloomFilter":
+        _, kind = unpack_header(data)
+        if kind != KIND_BLOOM:
+            raise ValueError(f"not a Bloom blob (kind={kind})")
+        m_bits, k, seed, count = struct.unpack_from("<QIIq", data, HEADER_SIZE)
+        off = HEADER_SIZE + struct.calcsize("<QIIq")
+        bits = np.frombuffer(data, dtype=np.uint8, count=m_bits // 8, offset=off).copy()
+        return cls(m_bits, k, seed=seed, bits=bits, count=count)

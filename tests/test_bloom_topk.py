@@ -1,0 +1,109 @@
+"""Bloom filter + Space-Saving contract tests mirroring
+BloomFilterTest.java / TestStreamSummary.java."""
+
+import numpy as np
+import pytest
+
+from stream_lib_spark.hashing import murmur64a_array
+from stream_lib_spark.sketches.base import SketchMergeError
+from stream_lib_spark.sketches.bloom import BloomFilter, analytic_fpp, bits_for_fpp, optimal_k
+from stream_lib_spark.sketches.spacesaving import SpaceSaving
+
+
+def _keys(n, prefix="key"):
+    return murmur64a_array(np.array([f"{prefix}-{i}" for i in range(n)], dtype=object))
+
+
+def test_no_false_negatives():
+    bf = BloomFilter.for_capacity(1000, 0.01)
+    h = _keys(1000)
+    bf.add_hashed(h)
+    assert bf.contains_hashed(h).all()
+
+
+@pytest.mark.parametrize("buckets_per_elt", [10, 15, 20])
+def test_fp_rate_within_001_of_analytic(buckets_per_elt):
+    # BloomFilterTest.java:149-180 — 100 keys, 100k probes
+    n = 100
+    m = n * buckets_per_elt
+    bf = BloomFilter(m_bits=m, k=optimal_k(m, n))
+    bf.add_hashed(_keys(n))
+    fp = bf.contains_hashed(_keys(100_000, prefix="absent")).mean()
+    assert abs(fp - analytic_fpp(bf.m_bits, bf.k, n)) < 0.01
+
+
+def test_sizing_from_fpp():
+    # BloomCalculations.java:91-151 shape: more bits for lower fpp
+    assert bits_for_fpp(1000, 0.01) > bits_for_fpp(1000, 0.1)
+    bf = BloomFilter.for_capacity(10_000, 0.03)
+    bf.add_hashed(_keys(10_000))
+    fp = bf.contains_hashed(_keys(50_000, prefix="absent")).mean()
+    assert fp < 0.05
+
+
+def test_merge_or_byte_identical():
+    # BloomFilter.java:121-127
+    h = _keys(2000)
+    full = BloomFilter(30_000, 7).add_hashed(h)
+    a = BloomFilter(30_000, 7).add_hashed(h[:1000])
+    b = BloomFilter(30_000, 7).add_hashed(h[1000:])
+    assert a.merge(b).bits.tobytes() == full.bits.tobytes()
+    with pytest.raises(SketchMergeError):
+        a.merge(BloomFilter(10_000, 7))
+
+
+def test_bloom_roundtrip():
+    bf = BloomFilter.for_capacity(500, 0.01).add_hashed(_keys(500))
+    rt = BloomFilter.from_bytes(bf.to_bytes())
+    assert rt.to_bytes() == bf.to_bytes()
+    assert rt.contains_hashed(_keys(500)).all()
+
+
+def test_spacesaving_deterministic_stream():
+    # TestStreamSummary.java:57-67: stream, cap 3 ⇒ top-3 {A, C, X}
+    stream = ["X", "X", "Y", "Z", "A", "B", "C", "X", "X", "A", "C", "A", "A"]
+    ss = SpaceSaving(3)
+    for item in stream:
+        ss.update_batch(np.array([item], dtype=object), np.array([1]))
+    assert {t[0] for t in ss.top_k(3)} == {"A", "C", "X"}
+
+
+def test_spacesaving_error_bookkeeping():
+    # StreamSummary.java:117-124: count - error <= true <= count
+    rng = np.random.RandomState(42)
+    vals = rng.geometric(0.25, 100_000)
+    ss = SpaceSaving(20)
+    for i in range(0, len(vals), 10_000):
+        u, c = np.unique(vals[i : i + 10_000], return_counts=True)
+        ss.update_batch(u.astype(object), c)
+    uniq, counts = np.unique(vals, return_counts=True)
+    truth = dict(zip(uniq.astype(str), counts))
+    for item, cnt, err in ss.top_k(10):
+        t = int(truth[str(item)])
+        assert cnt - err <= t <= cnt
+
+
+def test_spacesaving_merged_exact_topk_on_skew():
+    # mergeable-summaries semantics: any item with freq > N/cap survives
+    rng = np.random.RandomState(1)
+    vals = rng.geometric(0.25, 100_000)
+    parts = []
+    for i in range(8):
+        u, c = np.unique(vals[i::8], return_counts=True)
+        parts.append(SpaceSaving(50).update_batch(u.astype(object), c))
+    merged = parts[0]
+    for p in parts[1:]:
+        merged.merge(p)
+    uniq, counts = np.unique(vals, return_counts=True)
+    true_top = set(uniq[np.argsort(-counts)][:10].astype(str))
+    got = {str(t[0]) for t in merged.top_k(10)}
+    assert got == true_top
+    assert merged.n == len(vals)
+
+
+def test_spacesaving_roundtrip():
+    ss = SpaceSaving(5)
+    ss.update_batch(np.array(["a", "b", "a"], dtype=object), np.array([3, 2, 1]))
+    rt = SpaceSaving.from_bytes(ss.to_bytes())
+    assert rt.to_bytes() == ss.to_bytes()
+    assert rt.top_k(2) == ss.top_k(2)
