@@ -1,38 +1,531 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator (SURVEY.md §2) as a
+(spark, sf_dir) → DataFrame callable; ``oracle_sql()`` gives the DuckDB
+oracle for each.  Two oracle styles:
+
+- **exact queries** (relational shell, dedup, text ops, top-k with
+  deterministic tie-breaks): values compared directly;
+- **sketch queries**: the Spark side computes BOTH the exact answer
+  (distributed, exact) and the sketch estimate, and emits the exact
+  value plus a ``*_ok`` boolean asserting the estimate is inside the
+  reference's published bound (HLL ±3σ @ 1.04/√2^p; CMS ε·N @ δ;
+  t-digest/KLL rank error).  The oracle returns the same exact value
+  and TRUE — so a sketch drifting out of contract fails the value-hash
+  gate, not just a soft check.
+
+Non-SQL-expressible ops (MinHash-LSH, SimHash, LSH-ANN, multimodal,
+transcript sketches) have no oracle entry → rows-only check.
 """
 
 from __future__ import annotations
 
+import math
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QS = [0.01, 0.1, 0.5, 0.9, 0.99]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _ship(spark):
+    from stream_lib_spark.jobs.session import ensure_shipped
+
+    ensure_shipped(spark)
+
+
+# ====================================================================== entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-event-type distinct users (HLL++), value quantiles
+    (t-digest) and exact counts, in one pass shape over sf0.001."""
+    _ship(spark)
+    from stream_lib_spark.agg import SketchSpec, sketch_agg
+    from stream_lib_spark.functions import hll_cardinality, quantile_udf
+
+    ev = _t(spark, "/root/testdata/sf0.001", "events")
+    hll = sketch_agg(ev, ["event_type"], "user_id", SketchSpec("hll", p=12)).select(
+        "event_type", F.round(hll_cardinality("sketch"), 1).alias("approx_users")
+    )
+    td = sketch_agg(ev, ["event_type"], "value", SketchSpec("tdigest", compression=100.0)).select(
+        "event_type",
+        F.round(quantile_udf(0.5)(F.col("sketch")), 3).alias("p50_value"),
+        F.round(quantile_udf(0.95)(F.col("sketch")), 3).alias("p95_value"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"), F.countDistinct("user_id").alias("exact_users")
+    )
+    return exact.join(hll, "event_type").join(td, "event_type").orderBy("event_type")
+
+
+# ==================================================================== queries
+
+def q_hll_users_by_type(spark, sf_dir):
+    _ship(spark)
+    from stream_lib_spark.agg import SketchSpec, sketch_agg
+    from stream_lib_spark.functions import hll_cardinality
+
+    ev = _t(spark, sf_dir, "events")
+    p = 12
+    est = sketch_agg(ev, ["event_type"], "user_id", SketchSpec("hll", p=p)).select(
+        "event_type", hll_cardinality("sketch").alias("est")
+    )
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_users"))
+    bound = 3.0 * 1.04 / math.sqrt(1 << p)
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (F.abs(F.col("est") - F.col("exact_users"))
+             <= F.greatest(F.col("exact_users") * bound, F.lit(1.0))).alias("hll_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_hll_orders_global(spark, sf_dir):
+    _ship(spark)
+    from stream_lib_spark.agg import SketchSpec, collect_sketch, sketch_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = 14
+    est = collect_sketch(sketch_agg(li, [], "l_orderkey", SketchSpec("hll", p=p))).cardinality()
+    exact = li.select("l_orderkey").distinct().count()
+    ok = abs(est - exact) <= max(3.0 * 1.04 / math.sqrt(1 << p) * exact, 1.0)
+    return spark.createDataFrame([(exact, bool(ok))], "exact_orders long, hll_ok boolean")
+
+
+def q_cms_event_freq(spark, sf_dir):
+    _ship(spark)
+    from stream_lib_spark.agg import SketchSpec, collect_sketch, sketch_agg
+
+    ev = _t(spark, sf_dir, "events")
+    eps = 1e-4
+    cms = collect_sketch(
+        sketch_agg(ev, [], "event_type", SketchSpec("cms", eps=eps, confidence=0.99))
+    )
+    exact = {r[0]: r[1] for r in ev.groupBy("event_type").count().collect()}
+    n = sum(exact.values())
+    keys = sorted(exact)
+    hashed = dict(
+        spark.createDataFrame([(k,) for k in keys], ["k"])
+        .select("k", F.xxhash64("k").alias("h"))
+        .collect()
+    )
+    import numpy as np
+
+    est = cms.estimate_hashed(np.array([hashed[k] for k in keys], dtype=np.int64))
+    rows = [
+        (k, int(exact[k]), bool(exact[k] <= e <= exact[k] + max(eps * n, 1.0)))
+        for k, e in zip(keys, est)
+    ]
+    return spark.createDataFrame(rows, "event_type string, exact_cnt long, cms_ok boolean")
+
+
+def q_tdigest_value_quantiles(spark, sf_dir):
+    _ship(spark)
+    from stream_lib_spark.agg import SketchSpec, collect_sketch, sketch_agg
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    td = collect_sketch(sketch_agg(ev, [], "value", SketchSpec("tdigest", compression=100.0)))
+    n = ev.count()
+    ests = [(q, td.quantile(q)) for q in QS]
+    # exact rank of each estimate in one distributed pass
+    agg = ev.agg(
+        *[F.sum((F.col("value") <= F.lit(v)).cast("long")).alias(f"r{i}") for i, (_, v) in enumerate(ests)]
+    ).collect()[0]
+    rows = [(q, bool(abs(agg[f"r{i}"] / n - q) <= 0.012)) for i, (q, _) in enumerate(ests)]
+    return spark.createDataFrame(rows, "q double, within_bound boolean")
+
+
+def q_kll_price_quantiles(spark, sf_dir):
+    _ship(spark)
+    from stream_lib_spark.agg import SketchSpec, collect_sketch, sketch_agg
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_extendedprice").isNotNull())
+    sk = collect_sketch(sketch_agg(li, [], "l_extendedprice", SketchSpec("kll", k=200)))
+    n = li.count()
+    ests = [(q, sk.quantile(q)) for q in QS]
+    agg = li.agg(
+        *[F.sum((F.col("l_extendedprice") <= F.lit(v)).cast("long")).alias(f"r{i}") for i, (_, v) in enumerate(ests)]
+    ).collect()[0]
+    rows = [(q, bool(abs(agg[f"r{i}"] / n - q) <= 0.015)) for i, (q, _) in enumerate(ests)]
+    return spark.createDataFrame(rows, "q double, within_bound boolean")
+
+
+def q_bloom_custkey(spark, sf_dir):
+    _ship(spark)
+    from stream_lib_spark.functions import bloom_build, bloom_probe
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    n_cust = orders.select("o_custkey").distinct().count()
+    bf = bloom_build(orders, "o_custkey", n_elements=max(n_cust, 16), fpp=0.01)
+    present = customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+    fn = (
+        bloom_probe(bf, present, "c_custkey")
+        .where(~F.col("might_contain"))
+        .count()
+    )
+    absent = spark.range(10_000_000, 10_020_000).select(F.col("id").cast("long").alias("k"))
+    fp_rate = (
+        bloom_probe(bf, absent, "k").agg(F.avg(F.col("might_contain").cast("double"))).collect()[0][0]
+    )
+    return spark.createDataFrame(
+        [(int(fn), bool(fp_rate <= 0.03))], "false_negatives long, fp_ok boolean"
+    )
+
+
+def q_topk_event_types(spark, sf_dir):
+    _ship(spark)
+    from stream_lib_spark.functions import approx_topk
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        approx_topk(ev, "event_type", k=3, capacity=64)
+        .select(F.col("item").alias("event_type"), F.col("count").alias("cnt"))
+        .orderBy(F.desc("cnt"), "event_type")
+    )
+
+
+def q_heavy_hitters_partkey(spark, sf_dir):
+    """Space-Saving candidates (complete for freq > N/cap) + exact
+    verify via broadcast semi join → exact heavy-hitter set."""
+    _ship(spark)
+    from stream_lib_spark.functions import approx_topk
+
+    li = _t(spark, sf_dir, "lineitem")
+    n = li.count()
+    thresh = int(n * 0.00075) + 1
+    cap = 2048  # cap > n/thresh ⇒ every key with freq >= thresh survives
+    cands = approx_topk(li, "l_partkey", k=cap, capacity=cap).select(
+        F.col("item").cast("long").alias("l_partkey")
+    )
+    exact = (
+        li.join(F.broadcast(cands), "l_partkey", "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= thresh)
+    )
+    return exact.orderBy("l_partkey")
+
+
+def q_q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0)
+            .cast("long")
+            .alias("revenue_rounded"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_sessionization(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_sess = F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0)
+    return (
+        ev.withColumn("ns", new_sess)
+        .groupBy("user_id")
+        .agg(F.sum("ns").alias("n_sessions"))
+        .orderBy("user_id")
+    )
+
+
+def q_exact_dedup_documents(spark, sf_dir):
+    from stream_lib_spark.textops import exact_dedup_stats
+
+    return exact_dedup_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_token_stats(spark, sf_dir):
+    from stream_lib_spark.textops import token_stats
+
+    return token_stats(_t(spark, sf_dir, "documents")).drop("avg_tokens")
+
+
+def q_quality_buckets(spark, sf_dir):
+    from stream_lib_spark.textops import quality_buckets
+
+    return quality_buckets(_t(spark, sf_dir, "documents"))
+
+
+def q_langid(spark, sf_dir):
+    from stream_lib_spark.textops import langid_heuristic
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .withColumn("lang_pred", langid_heuristic())
+        .groupBy("lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang_pred")
+    )
+
+
+def q_fingerprint_dup_groups(spark, sf_dir):
+    from stream_lib_spark.textops import doc_fingerprint
+
+    docs = _t(spark, sf_dir, "documents").withColumn("fp", doc_fingerprint())
+    groups = docs.groupBy("fp").agg(F.count("*").alias("sz")).where(F.col("sz") > 1)
+    return groups.agg(
+        F.count("*").alias("n_dup_groups"),
+        F.coalesce(F.max("sz"), F.lit(0)).alias("max_group_size"),
+    )
+
+
+def q_ngram_jaccard_dups(spark, sf_dir):
+    from stream_lib_spark.textops import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.8)
+
+
+def q_ann_topk(spark, sf_dir):
+    _ship(spark)
+    from stream_lib_spark.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = [(r["vec_id"], list(r["embedding"])) for r in emb.where(F.col("vec_id") < 5).collect()]
+    return brute_force_topk(emb, queries, k=3).drop("cosine")
+
+
+# ------------------------------------------------------- rows-only (no SQL)
+
+def q_minhash_dedup_pairs(spark, sf_dir):
+    _ship(spark)
+    from stream_lib_spark.textops import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    _ship(spark)
+    from stream_lib_spark.textops import simhash_near_dups
+
+    return simhash_near_dups(_t(spark, sf_dir, "documents"), hamming_max=6)
+
+
+def q_lsh_ann_topk(spark, sf_dir):
+    _ship(spark)
+    from stream_lib_spark.similarity import lsh_bucketed_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_bucketed_topk(emb, emb.where(F.col("vec_id") < 5), dim=64, k=3, n_planes=8)
+
+
+def q_transcript_tool_topk(spark, sf_dir):
+    _ship(spark)
+    from stream_lib_spark.functions import approx_topk
+    from stream_lib_spark.transcripts import generate_transcripts
+
+    t = generate_transcripts(spark, n_convs=300, partitions=8)
+    return approx_topk(t.where(F.col("tool").isNotNull()), "tool", k=5, capacity=256)
+
+
+def q_transcript_latency_quantiles(spark, sf_dir):
+    _ship(spark)
+    from stream_lib_spark.functions import approx_quantiles
+    from stream_lib_spark.transcripts import generate_transcripts, turn_latencies
+
+    t = generate_transcripts(spark, n_convs=300, partitions=8)
+    return approx_quantiles(turn_latencies(t), "latency_s", [0.5, 0.9, 0.99], kind="tdigest")
+
+
+def q_image_features(spark, sf_dir):
+    _ship(spark)
+    from stream_lib_spark.multimodal import extract_image_features, synthesize_media
+
+    media = synthesize_media(spark, n=128)
+    return extract_image_features(media, deterministic_fake=True).orderBy("media_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "hll_users_by_type": q_hll_users_by_type,
+        "hll_orders_global": q_hll_orders_global,
+        "cms_event_freq": q_cms_event_freq,
+        "tdigest_value_quantiles": q_tdigest_value_quantiles,
+        "kll_price_quantiles": q_kll_price_quantiles,
+        "bloom_custkey": q_bloom_custkey,
+        "topk_event_types": q_topk_event_types,
+        "heavy_hitters_partkey": q_heavy_hitters_partkey,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "sessionization": q_sessionization,
+        "exact_dedup_documents": q_exact_dedup_documents,
+        "token_stats": q_token_stats,
+        "quality_buckets": q_quality_buckets,
+        "langid": q_langid,
+        "fingerprint_dup_groups": q_fingerprint_dup_groups,
+        "ngram_jaccard_dups": q_ngram_jaccard_dups,
+        "ann_topk": q_ann_topk,
+        "minhash_dedup_pairs": q_minhash_dedup_pairs,
+        "simhash_near_dups": q_simhash_near_dups,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "transcript_tool_topk": q_transcript_tool_topk,
+        "transcript_latency_quantiles": q_transcript_latency_quantiles,
+        "image_features": q_image_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ===================================================================== oracle
+
+_STOPWORDS_SQL = ["the", "a", "and", "of", "to", "in", "is", "it"]
+_QUALITY_SQL = (
+    "(CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 20 THEN 1.0 ELSE 0.0 END"
+    " + CASE WHEN ("
+    + " + ".join(
+        f"CASE WHEN lower(text) LIKE '% {w} %' THEN 1 ELSE 0 END" for w in _STOPWORDS_SQL
+    )
+    + ") >= 2 THEN 1.0 ELSE 0.0 END"
+    " - CASE WHEN length(lower(text)) > 0 THEN"
+    "   CAST(length(regexp_replace(lower(text), '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)"
+    "   / length(lower(text)) ELSE 1.0 END)"
+)
+
+_LANG_MARKERS_SQL = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "nicht"],
+    "fr": ["le", "et", "les"],
+    "es": ["el", "los", "que"],
+}
+
+
+def _lang_score(lang):
+    return "(" + " + ".join(
+        f"CASE WHEN ' ' || lower(text) || ' ' LIKE '% {w} %' THEN 1 ELSE 0 END"
+        for w in _LANG_MARKERS_SQL[lang]
+    ) + ")"
+
+
+def _langid_sql():
+    # same deterministic priority ladder as textops.langid_heuristic
+    expr = "'unknown'"
+    best = "0"
+    for lang in ("en", "de", "fr", "es"):
+        s = _lang_score(lang)
+        expr = f"CASE WHEN {s} > {best} THEN '{lang}' ELSE {expr} END"
+        best = f"CASE WHEN {s} > {best} THEN {s} ELSE {best} END"
+    return expr
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    qs_rows = ", ".join(f"(CAST({q} AS DOUBLE), TRUE)" for q in QS)
+    return {
+        "hll_users_by_type": (
+            "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS hll_ok "
+            "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "hll_orders_global": (
+            "SELECT COUNT(DISTINCT l_orderkey) AS exact_orders, TRUE AS hll_ok FROM lineitem"
+        ),
+        "cms_event_freq": (
+            "SELECT event_type, COUNT(*) AS exact_cnt, TRUE AS cms_ok "
+            "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "tdigest_value_quantiles": (
+            f"SELECT * FROM (VALUES {qs_rows}) AS t(q, within_bound)"
+        ),
+        "kll_price_quantiles": (
+            f"SELECT * FROM (VALUES {qs_rows}) AS t(q, within_bound)"
+        ),
+        "bloom_custkey": (
+            "SELECT CAST(0 AS BIGINT) AS false_negatives, TRUE AS fp_ok"
+        ),
+        "topk_event_types": (
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt FROM events "
+            "GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 3"
+        ),
+        "heavy_hitters_partkey": (
+            "SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt FROM lineitem "
+            "GROUP BY l_partkey "
+            "HAVING COUNT(*) >= (SELECT CAST(FLOOR(COUNT(*) * 0.00075) + 1 AS BIGINT) FROM lineitem) "
+            "ORDER BY l_partkey"
+        ),
+        "q1_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, "
+            "CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 0) AS BIGINT) AS revenue_rounded, "
+            "COUNT(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+            "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+        ),
+        "sessionization": (
+            "SELECT user_id, CAST(SUM(ns) AS BIGINT) AS n_sessions FROM ("
+            "  SELECT user_id, CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END AS ns "
+            "  FROM ("
+            "    SELECT user_id, epoch_us(ts) - LAG(epoch_us(ts)) OVER "
+            "      (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us FROM events"
+            "  )"
+            ") GROUP BY user_id ORDER BY user_id"
+        ),
+        "exact_dedup_documents": (
+            "SELECT source, COUNT(*) AS n_docs, "
+            "COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS n_distinct, "
+            "COUNT(*) - COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS n_dups "
+            "FROM documents GROUP BY source ORDER BY source"
+        ),
+        "token_stats": (
+            "SELECT lang, COUNT(*) AS n_docs, "
+            "CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens "
+            "FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        "quality_buckets": (
+            f"SELECT ROUND({_QUALITY_SQL}, 1) AS q, COUNT(*) AS n_docs "
+            "FROM documents GROUP BY 1 ORDER BY q"
+        ),
+        "langid": (
+            f"SELECT {_langid_sql()} AS lang_pred, COUNT(*) AS n_docs "
+            "FROM documents GROUP BY 1 ORDER BY lang_pred"
+        ),
+        "fingerprint_dup_groups": (
+            "SELECT COUNT(*) AS n_dup_groups, COALESCE(MAX(sz), 0) AS max_group_size FROM ("
+            "  SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp, "
+            "  CAST(COUNT(*) AS BIGINT) AS sz FROM documents GROUP BY 1 HAVING COUNT(*) > 1"
+            ")"
+        ),
+        "ngram_jaccard_dups": (
+            "WITH toks AS ("
+            "  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents"
+            "), exploded AS ("
+            "  SELECT doc_id, unnest([array_to_string(w[i : i + 2], ' ') "
+            "    for i in generate_series(1, greatest(len(w) - 2, 1))]) AS gram FROM toks"
+            "), grams AS (SELECT DISTINCT doc_id, gram FROM exploded"
+            "), cnt AS (SELECT doc_id, COUNT(*) AS g FROM grams GROUP BY doc_id), "
+            "inter AS ("
+            "  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni "
+            "  FROM grams a JOIN grams b USING (gram) WHERE a.doc_id < b.doc_id "
+            "  GROUP BY 1, 2"
+            ") "
+            "SELECT id_a, id_b, ROUND(CAST(ni AS DOUBLE) / (ca.g + cb.g - ni), 4) AS jaccard "
+            "FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b "
+            "WHERE CAST(ni AS DOUBLE) / (ca.g + cb.g - ni) >= 0.8 ORDER BY id_a, id_b"
+        ),
+        "ann_topk": (
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5), "
+            "s AS ("
+            "  SELECT q.qid AS query_id, e.vec_id AS neighbor_id, "
+            "  list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos "
+            "  FROM q, embeddings e WHERE e.vec_id <> q.qid"
+            "), r AS ("
+            "  SELECT query_id, neighbor_id, CAST(ROW_NUMBER() OVER "
+            "    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank "
+            "  FROM s"
+            ") SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 3 ORDER BY query_id, rank"
+        ),
+    }

@@ -1,0 +1,128 @@
+"""High-level sketch query functions + finalize UDFs.
+
+The finalize step of every sketch (estimate / quantile / membership) is
+exposed two ways:
+
+- as vectorized pandas UDFs over the BinaryType state column (for
+  keyed results that stay distributed), and
+- as driver-side helpers on collected global sketches (one small blob).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from .agg import SketchSpec, collect_sketch, sketch_agg, sketch_from_bytes
+
+
+@F.pandas_udf(T.DoubleType())
+def hll_cardinality(state: pd.Series) -> pd.Series:
+    return state.map(lambda b: float(sketch_from_bytes(bytes(b)).cardinality()))
+
+
+@F.pandas_udf(T.LongType())
+def sketch_weight(state: pd.Series) -> pd.Series:
+    """Total observed weight (CMS.size / tdigest.total / KLL.n)."""
+    def w(b):
+        sk = sketch_from_bytes(bytes(b))
+        for attr in ("size", "total", "n", "count"):
+            if hasattr(sk, attr):
+                return int(getattr(sk, attr))
+        return -1
+    return state.map(w)
+
+
+def quantile_udf(q: float):
+    @F.pandas_udf(T.DoubleType())
+    def _q(state: pd.Series) -> pd.Series:
+        return state.map(lambda b: float(sketch_from_bytes(bytes(b)).quantile(q)))
+    return _q
+
+
+def approx_count_distinct(df: DataFrame, col: str, keys: list[str] | None = None,
+                          p: int = 14, **kw) -> DataFrame:
+    """HLL++ distinct count → (keys..., approx_distinct double)."""
+    keys = keys or []
+    merged = sketch_agg(df, keys, col, SketchSpec("hll", p=p), **kw)
+    return merged.select(*keys, hll_cardinality(F.col("sketch")).alias("approx_distinct"))
+
+
+def approx_quantiles(df: DataFrame, col: str, qs: list[float],
+                     keys: list[str] | None = None, kind: str = "tdigest", **kw) -> DataFrame:
+    """t-digest / KLL quantiles → (keys..., q_<x> double ...)."""
+    keys = keys or []
+    spec = SketchSpec(kind, compression=100.0) if kind == "tdigest" else SketchSpec(kind, k=200)
+    merged = sketch_agg(df, keys, col, spec, **kw)
+    cols = [quantile_udf(q)(F.col("sketch")).alias(f"q_{str(q).replace('.', '_')}") for q in qs]
+    return merged.select(*keys, *cols)
+
+
+def approx_topk(df: DataFrame, col: str, k: int, capacity: int | None = None,
+                keys: list[str] | None = None, **kw) -> DataFrame:
+    """Space-Saving top-k → (keys..., item, count, error, rank)."""
+    keys = keys or []
+    cap = capacity or max(4 * k, 64)
+    merged = sketch_agg(df, keys, col, SketchSpec("spacesaving", capacity=cap), **kw)
+
+    out_fields = [merged.schema[kk] for kk in keys] + [
+        T.StructField("item", T.StringType()),
+        T.StructField("count", T.LongType()),
+        T.StructField("error", T.LongType()),
+        T.StructField("rank", T.IntegerType()),
+    ]
+
+    def explode_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, r in pdf.iterrows():
+            ss = sketch_from_bytes(bytes(r["sketch"]))
+            for i, (item, cnt, err) in enumerate(ss.top_k(k), 1):
+                rows.append([r[kk] for kk in keys] + [str(item), cnt, err, i])
+        return pd.DataFrame(rows, columns=keys + ["item", "count", "error", "rank"])
+
+    if keys:
+        return merged.groupBy(*keys).applyInPandas(explode_topk, T.StructType(out_fields))
+    return merged.mapInPandas(lambda it: (explode_topk(pdf) for pdf in it), T.StructType(out_fields))
+
+
+def cms_frequencies(df: DataFrame, col: str, probe_items: list, eps: float = 1e-4,
+                    confidence: float = 0.99, **kw) -> DataFrame:
+    """Global CMS over df[col], probed at probe_items →
+    (item string, est_count long).  Probe hashing reuses the exact same
+    JVM xxhash64 the update path used."""
+    spark = df.sparkSession
+    cms = collect_sketch(sketch_agg(df, [], col, SketchSpec("cms", eps=eps, confidence=confidence), **kw))
+    probes = spark.createDataFrame([(str(i),) for i in probe_items], ["item"])
+    # hash probe items the same way the update path hashed df[col]
+    field = dict(df.dtypes)[col]
+    hashed = probes.select("item", F.xxhash64(F.col("item").cast(field)).alias("h")).collect()
+    import numpy as np
+
+    items = [r["item"] for r in hashed]
+    est = cms.estimate_hashed(np.array([r["h"] for r in hashed], dtype=np.int64))
+    return spark.createDataFrame(list(zip(items, [int(e) for e in est])), ["item", "est_count"])
+
+
+def bloom_build(df: DataFrame, col: str, n_elements: int, fpp: float = 0.01, **kw):
+    """Distributed Bloom build → driver-side BloomFilter."""
+    return collect_sketch(
+        sketch_agg(df, [], col, SketchSpec("bloom", n_elements=n_elements, fpp=fpp), **kw)
+    )
+
+
+def bloom_probe(bf, df: DataFrame, col: str) -> DataFrame:
+    """Probe a DataFrame column against a driver-side Bloom filter →
+    adds boolean ``might_contain`` (JVM-side xxhash64 + Arrow batch probe).
+    The filter blob ships once per task (closure broadcast)."""
+    blob = bf.to_bytes()
+
+    @F.pandas_udf(T.BooleanType())
+    def probe(h: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from .sketches.bloom import BloomFilter
+
+        filt = BloomFilter.from_bytes(blob)
+        return pd.Series(filt.contains_hashed(h.to_numpy().astype(np.int64)))
+
+    return df.withColumn("might_contain", probe(F.xxhash64(F.col(col))))

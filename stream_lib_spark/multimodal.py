@@ -1,0 +1,104 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata.
+
+The decode kernels themselves are STUBBED (no image/audio libs in this
+container — see ``DecoderUnavailable``), with a deterministic fake
+decoder so the Spark-side plumbing — schema, batch shape, partitioning,
+Arrow transfer — is real and tested end-to-end.  Swapping in Pillow /
+torchaudio at deploy time means replacing ``_decode_image_stub`` only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("kind", T.StringType()),       # image | audio | video
+    T.StructField("payload", T.BinaryType()),    # opaque encoded bytes
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("duration_ms", T.IntegerType()),
+])
+
+
+class DecoderUnavailable(NotImplementedError):
+    """Raised by the real decode path: media codecs are not installed
+    in this environment. Use deterministic_fake=True for testing the
+    distributed plumbing."""
+
+
+def synthesize_media(spark, n: int = 256, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (payload = splitmix64 byte soup)."""
+    df = spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                     (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(3)) + 1).cast("int")).alias("kind"),
+        F.sha2(F.concat(F.lit("payload-"), F.col("id").cast("string")), 256).cast("binary").alias("payload"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1920)) + 16).cast("int").alias("width"),
+        (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1080)) + 16).cast("int").alias("height"),
+        (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(600000)) + 100).cast("int").alias("duration_ms"),
+    )
+    return df
+
+
+def _decode_image_stub(payload: bytes, width: int, height: int,
+                       deterministic_fake: bool) -> np.ndarray:
+    if not deterministic_fake:
+        raise DecoderUnavailable(
+            "image codecs not installed in this container; "
+            "pass deterministic_fake=True or deploy with Pillow"
+        )
+    # deterministic fake: tile the payload bytes into an (8, 8, 3) "image"
+    buf = np.frombuffer(payload or b"\0", dtype=np.uint8)
+    reps = int(np.ceil(8 * 8 * 3 / len(buf)))
+    return np.tile(buf, reps)[: 8 * 8 * 3].reshape(8, 8, 3)
+
+
+def extract_image_features(media: DataFrame, deterministic_fake: bool = True) -> DataFrame:
+    """Decode → 8-dim feature vector, batched via mapInPandas.  The
+    real-world shape: payloads arrive as Arrow binary buffers; the
+    decode loop is per-row by necessity (codecs are), but feature math
+    is numpy-vectorized over the decoded batch."""
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for _, row in pdf.iterrows():
+                img = _decode_image_stub(row["payload"], row["width"], row["height"],
+                                         deterministic_fake)
+                channel_means = img.mean(axis=(0, 1))
+                channel_stds = img.std(axis=(0, 1))
+                feats.append(np.concatenate([
+                    channel_means, channel_stds,
+                    [float(img.min()), float(img.max())],
+                ]).round(6).tolist())
+            yield pd.DataFrame({"media_id": pdf["media_id"].to_numpy(), "features": feats})
+
+    return media.where(F.col("kind") == "image").mapInPandas(gen, schema=schema)
+
+
+def sample_video_frames(media: DataFrame, every_ms: int = 1000,
+                        deterministic_fake: bool = True) -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled timestamp
+    (the real decoder would emit the frame bytes; the fake emits a
+    deterministic frame fingerprint)."""
+    if not deterministic_fake:
+        raise DecoderUnavailable("video codecs not installed in this container")
+    frames = media.where(F.col("kind") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("duration_ms") / every_ms).cast("int"))
+        ).alias("frame_idx"),
+    )
+    return frames.withColumn(
+        "frame_fingerprint", F.xxhash64("media_id", "frame_idx")
+    )

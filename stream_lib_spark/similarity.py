@@ -1,0 +1,138 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers (the standard ANN scale ladder):
+
+- ``brute_force_topk`` — exact cosine top-k. The query side is tiny and
+  **broadcast**; the corpus side streams through a vectorized numpy
+  matmul in ``mapInPandas`` (one BLAS GEMM per Arrow batch, no per-row
+  Python).  At 100 TB the corpus scan is embarrassingly parallel and
+  the only shuffle is the final global top-k (k rows per partition).
+- ``lsh_bucketed_topk`` — approximate: random-hyperplane signatures
+  (SimHash for cosine, Charikar 2002) bucket both sides; candidates are
+  scored exactly within buckets only.  Trades recall for pruning the
+  corpus scan; bucket join is an equi-join Spark can shuffle/broadcast
+  on its own.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F, types as T
+
+from .hashing import splitmix64
+
+_OUT = T.StructType([
+    T.StructField("query_id", T.LongType()),
+    T.StructField("neighbor_id", T.LongType()),
+    T.StructField("cosine", T.DoubleType()),
+])
+
+
+def _as_matrix(series: pd.Series) -> np.ndarray:
+    return np.array([np.asarray(v, dtype=np.float64) for v in series], dtype=np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def brute_force_topk(corpus: DataFrame, queries: list[tuple[int, list[float]]], k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     exclude_self: bool = True) -> DataFrame:
+    """Exact cosine top-k of each query vector against the corpus.
+
+    ``queries`` is a small driver-side list [(id, vector)] — closed over
+    (broadcast with the serialized task, same effect as F.broadcast for
+    a dim table).  Per-partition: GEMM → per-query partial top-k;
+    global: window rank over (partitions × k) candidate rows only.
+    """
+    q_ids = np.array([q[0] for q in queries], dtype=np.int64)
+    q_mat = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy().astype(np.int64)
+            m = _normalize(_as_matrix(pdf[vec_col]))
+            sims = q_mat @ m.T  # (n_q, n_corpus)
+            if exclude_self:
+                sims[q_ids[:, None] == ids[None, :]] = -np.inf
+            kk = min(k, sims.shape[1])
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                idx = top[qi]
+                out_q.extend([q_ids[qi]] * len(idx))
+                out_n.extend(ids[idx].tolist())
+                out_s.extend(sims[qi, idx].tolist())
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cosine": out_s})
+
+    partials = corpus.select(id_col, vec_col).mapInPandas(score, schema=_OUT)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 4).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def hyperplane_signature(df: DataFrame, dim: int, n_planes: int = 16, seed: int = 11,
+                         vec_col: str = "embedding") -> DataFrame:
+    """Add an int signature column: sign pattern of `n_planes` random
+    hyperplanes (deterministic from seed via splitmix64 counter RNG)."""
+    planes = _planes(dim, n_planes, seed)
+
+    @F.pandas_udf(T.IntegerType())
+    def sig(v: pd.Series) -> pd.Series:
+        m = _as_matrix(v)
+        bits = (m @ planes.T) > 0  # (n, n_planes)
+        return pd.Series((bits.astype(np.int64) << np.arange(n_planes)).sum(axis=1).astype(np.int32))
+
+    return df.withColumn("lsh_sig", sig(F.col(vec_col)))
+
+
+def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """Deterministic ~N(0,1) hyperplanes via splitmix64 counters +
+    Box-Muller (no RNG state, reproducible on every executor)."""
+    n = dim * n_planes
+    u = (splitmix64(np.arange(2 * n, dtype=np.uint64) + np.uint64(seed * 0x9E37)) % np.uint64(1 << 53)).astype(np.float64) / float(1 << 53)
+    u1, u2 = u[:n], u[n:]
+    z = np.sqrt(-2 * np.log(u1 + 1e-15)) * np.cos(2 * np.pi * u2)
+    return z.reshape(n_planes, dim)
+
+
+def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
+                      n_planes: int = 12, seed: int = 11,
+                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: equi-join on hyperplane bucket, exact cosine
+    within buckets, window top-k.  Queries with empty buckets simply
+    return fewer rows (recall/cost tradeoff is the point)."""
+    c = hyperplane_signature(corpus, dim, n_planes, seed, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), "lsh_sig"
+    )
+    q = hyperplane_signature(queries, dim, n_planes, seed, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "lsh_sig"
+    )
+    joined = c.join(F.broadcast(q), "lsh_sig").where(F.col("query_id") != F.col("neighbor_id"))
+
+    @F.pandas_udf(T.DoubleType())
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma, mb = _normalize(_as_matrix(a)), _normalize(_as_matrix(b))
+        return pd.Series((ma * mb).sum(axis=1))
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        joined.withColumn("cosine", cos(F.col("qvec"), F.col("cvec")))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 4).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )
