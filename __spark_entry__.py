@@ -207,7 +207,7 @@ def q_heavy_hitters_partkey(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     n = li.count()
     thresh = int(n * 0.00075) + 1
-    cap = 2048  # cap > n/thresh ⇒ every key with freq >= thresh survives
+    cap = 4096  # cap >> n/thresh ⇒ every key with freq >= thresh survives
     cands = approx_topk(li, "l_partkey", k=cap, capacity=cap).select(
         F.col("item").cast("long").alias("l_partkey")
     )
@@ -326,7 +326,7 @@ def q_lsh_ann_topk(spark, sf_dir):
     from stream_lib_spark.similarity import lsh_bucketed_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    return lsh_bucketed_topk(emb, emb.where(F.col("vec_id") < 5), dim=64, k=3, n_planes=8)
+    return lsh_bucketed_topk(emb, emb.where(F.col("vec_id") < 5), dim=64, k=3, n_planes=8, n_bands=8)
 
 
 def q_transcript_tool_topk(spark, sf_dir):

@@ -1,0 +1,146 @@
+"""Benchmark harness: headline sketch queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "turns_per_sec": ...}
+
+``python bench.py --scaling`` additionally runs the transcript sketch
+pass at two parallelism levels (local[8] vs local[32] — the sandbox
+stand-in for N vs 4N executors) and reports throughput + scaling
+efficiency (north rule: >= 0.8); results go to BENCH.md via
+tools/update_bench_md.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+TRANSCRIPT_PARQUET = "/tmp/bench_transcripts_v1.parquet"
+BENCH_CONVS = 14_000  # ~600k turns, matching sf0.1 lineitem scale
+
+
+def _sf() -> float:
+    try:
+        return float(SF_DIR.rstrip("/").split("sf")[-1])
+    except ValueError:
+        return -1.0
+
+
+def materialize_transcripts(spark, n_convs=BENCH_CONVS, path=TRANSCRIPT_PARQUET):
+    """Generate + persist the synthetic transcript table once (stands in
+    for reading the Iceberg transcript table; generation excluded from
+    timings)."""
+    from stream_lib_spark.transcripts import generate_transcripts
+
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        generate_transcripts(spark, n_convs=n_convs, partitions=64).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return spark.read.parquet(path)
+
+
+def bench_queries(spark) -> tuple[dict, dict]:
+    from stream_lib_spark.agg import SketchSpec, collect_sketch, sketch_agg
+    from stream_lib_spark.functions import approx_quantiles, approx_topk, bloom_build, bloom_probe
+    from stream_lib_spark.textops import minhash_lsh_pairs
+    from stream_lib_spark.transcripts import turn_latencies
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    tr = materialize_transcripts(spark)
+    n_turns = tr.count()  # warm the scan
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def run(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    run("hll_orders_global", lambda: collect_sketch(
+        sketch_agg(li, [], "l_orderkey", SketchSpec("hll", p=14))).cardinality())
+    run("hll_users_by_type", lambda: sketch_agg(
+        ev, ["event_type"], "user_id", SketchSpec("hll", p=12)).collect())
+    run("cms_partkey_freq", lambda: collect_sketch(
+        sketch_agg(li, [], "l_partkey", SketchSpec("cms", eps=1e-4, confidence=0.99))))
+    run("tdigest_price", lambda: collect_sketch(
+        sketch_agg(li, [], "l_extendedprice", SketchSpec("tdigest", compression=100.0))).quantile(0.99))
+    run("kll_price", lambda: collect_sketch(
+        sketch_agg(li, [], "l_extendedprice", SketchSpec("kll", k=200))).quantile(0.5))
+    run("topk_partkey", lambda: approx_topk(li, "l_partkey", k=20, capacity=2048).collect())
+
+    def _bloom():
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        bf = bloom_build(orders, "o_custkey", n_elements=200_000, fpp=0.01)
+        absent = spark.range(10_000_000, 10_100_000)
+        bloom_probe(bf, absent, "id").agg(F.avg(F.col("might_contain").cast("double"))).collect()
+
+    run("bloom_build_probe", _bloom)
+    run("minhash_dedup_docs", lambda: minhash_lsh_pairs(docs, threshold=0.5).count())
+
+    # transcript sketch pass — the north-star workload; throughput metric
+    def _transcript_pass():
+        collect_sketch(sketch_agg(tr, [], "conv_id", SketchSpec("hll", p=14))).cardinality()
+
+    run("transcript_hll_convs", _transcript_pass)
+    extras["turns_per_sec"] = round(n_turns / timings["transcript_hll_convs"], 1)
+    extras["n_turns"] = n_turns
+
+    run("transcript_tool_hll", lambda: sketch_agg(
+        tr.where(F.col("tool").isNotNull()), ["tool"], "conv_id", SketchSpec("hll", p=12)).count())
+    run("transcript_latency_tdigest", lambda: approx_quantiles(
+        turn_latencies(tr), "latency_s", [0.5, 0.9, 0.99], kind="tdigest").collect())
+    run("q1_pricing", lambda: li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity"), F.count("*")).collect())
+    return timings, extras
+
+
+def run_scaling() -> dict:
+    """Same transcript sketch job at local[8] vs local[32] on the same
+    input, each in its own process/JVM — the sandbox evidence for N→4N
+    executor scaling (see tools/bench_scaling.py)."""
+    from tools.bench_scaling import orchestrate
+
+    return orchestrate()
+
+
+def _session(cpus: int):
+    from stream_lib_spark.jobs.session import get_spark
+
+    return get_spark(f"bench-{cpus}", cpus=cpus, shuffle_partitions=max(cpus * 2, 16))
+
+
+def main():
+    scaling = "--scaling" in sys.argv
+    spark = _session(CPUS)
+    timings, extras = bench_queries(spark)
+    spark.stop()
+    out = {
+        "metric": "sketch_bench_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf(),
+        **extras,
+    }
+    if scaling:
+        out["scaling"] = run_scaling()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -248,6 +248,108 @@ def sketch_agg(df: DataFrame, keys: list[str], col: str, spec: SketchSpec,
     return merge_partials(sketch_partials(df, keys, col, spec, hash_mode), keys, spec, fan_in)
 
 
+def multi_sketch_agg(df: DataFrame, sketches: dict[str, tuple[str, SketchSpec]],
+                     keys: list[str] | None = None,
+                     hash_mode: str = "xxhash64") -> DataFrame:
+    """Update MANY sketches in ONE scan / ONE Arrow crossing.
+
+    ``sketches``: {out_name: (column, spec)}.  At 100 TB the scan and
+    the JVM→Python boundary dominate; a pipeline that needs distinct
+    conv_ids, token frequencies, latency quantiles and a tool Bloom
+    filter should pay for them once, not once per sketch.  Returns one
+    row per key group with one BinaryType column per sketch name.
+    """
+    keys = keys or []
+    proj = [F.col(k) for k in keys]
+    modes: dict[str, str] = {}
+    for name, (col, spec) in sketches.items():
+        mode = spec.input_mode
+        modes[name] = mode
+        c = F.col(col)
+        if mode == "hash":
+            expr = F.when(c.isNotNull(), F.xxhash64(c)) if hash_mode == "xxhash64" else c.cast("string")
+        elif mode == "value":
+            expr = c.cast("double")
+        else:
+            expr = c.cast("string")
+        proj.append(expr.alias(f"__in_{name}"))
+    prepared = df.select(*proj)
+    python_hash = hash_mode != "xxhash64"
+
+    key_fields = [prepared.schema[k] for k in keys]
+    state_fields = [T.StructField(n, T.BinaryType()) for n in sketches]
+    out_schema = T.StructType(key_fields + state_fields)
+    names = list(sketches)
+    specs = {n: sketches[n][1] for n in names}
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        states: dict[tuple, dict[str, object]] = {}
+
+        def upd(key: tuple, sub: pd.DataFrame):
+            group = states.get(key)
+            if group is None:
+                group = states[key] = {n: specs[n].new() for n in names}
+            for n in names:
+                col_in = sub[f"__in_{n}"]
+                mask = col_in.notna()
+                arr = col_in[mask].to_numpy() if not mask.all() else col_in.to_numpy()
+                if len(arr) == 0:
+                    continue
+                spec = specs[n]
+                if modes[n] == "hash":
+                    if python_hash:
+                        arr = murmur64a_array(arr.astype(object)).view(np.int64)
+                    else:
+                        arr = arr.astype(np.int64, copy=False)
+                    spec.update(group[n], arr)
+                elif modes[n] == "value":
+                    spec.update(group[n], arr.astype(np.float64, copy=False))
+                else:
+                    vc = pd.Series(arr).value_counts()
+                    spec.update(group[n], vc.index.to_numpy(), vc.to_numpy())
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if keys:
+                for key, sub in pdf.groupby(keys, dropna=False, sort=False):
+                    upd(key if isinstance(key, tuple) else (key,), sub)
+            else:
+                upd((), pdf)
+        rows = [list(k) + [grp[n].to_bytes() for n in names] for k, grp in states.items()]
+        if not rows and not keys:
+            rows = [[specs[n].new().to_bytes() for n in names]]
+        yield pd.DataFrame(rows, columns=keys + names)
+
+    partials = prepared.mapInPandas(build, schema=out_schema)
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = {}
+        for n in names:
+            sk = None
+            for b in pdf[n]:
+                s = sketch_from_bytes(bytes(b))
+                sk = s if sk is None else sk.merge(s)
+            if sk is None:
+                sk = specs[n].new()
+            if isinstance(sk, TDigest):
+                sk.compress()
+            out[n] = [sk.to_bytes()]
+        head = pdf[keys].iloc[:1].reset_index(drop=True) if keys else pd.DataFrame(index=[0])
+        for n in names:
+            head[n] = out[n]
+        return head
+
+    if keys:
+        return partials.groupBy(*keys).applyInPandas(merge_group, schema=out_schema)
+
+    def merge_all(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pdfs = [p for p in batches if len(p)]
+        yield merge_group(pd.concat(pdfs) if pdfs else pd.DataFrame(columns=names))
+
+    return partials.repartition(1).mapInPandas(merge_all, schema=out_schema)
+
+
 def collect_sketch(df_or_merged: DataFrame):
     """Collect a single global sketch blob to the driver (one small
     row — NOT a data collect)."""

@@ -85,18 +85,25 @@ def brute_force_topk(corpus: DataFrame, queries: list[tuple[int, list[float]]], 
 
 
 def hyperplane_signature(df: DataFrame, dim: int, n_planes: int = 16, seed: int = 11,
-                         vec_col: str = "embedding") -> DataFrame:
-    """Add an int signature column: sign pattern of `n_planes` random
-    hyperplanes (deterministic from seed via splitmix64 counter RNG)."""
-    planes = _planes(dim, n_planes, seed)
+                         vec_col: str = "embedding", n_bands: int = 1) -> DataFrame:
+    """Add ``lsh_sigs`` (array<int>, one signature per band): sign
+    pattern of ``n_planes`` random hyperplanes per band (Charikar
+    SimHash-LSH; OR-construction over bands).  Hyperplanes are
+    deterministic from seed via splitmix64 counter RNG — identical on
+    every executor, no broadcast needed."""
+    planes = _planes(dim, n_planes * n_bands, seed)
 
-    @F.pandas_udf(T.IntegerType())
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def sig(v: pd.Series) -> pd.Series:
         m = _as_matrix(v)
-        bits = (m @ planes.T) > 0  # (n, n_planes)
-        return pd.Series((bits.astype(np.int64) << np.arange(n_planes)).sum(axis=1).astype(np.int32))
+        bits = (m @ planes.T) > 0  # (n, n_bands*n_planes)
+        weights = np.arange(n_planes)
+        out = []
+        for row in bits.reshape(len(m), n_bands, n_planes).astype(np.int64):
+            out.append(((row << weights).sum(axis=1)).astype(np.int32).tolist())
+        return pd.Series(out)
 
-    return df.withColumn("lsh_sig", sig(F.col(vec_col)))
+    return df.withColumn("lsh_sigs", sig(F.col(vec_col)))
 
 
 def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
@@ -110,18 +117,28 @@ def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
 
 
 def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
-                      n_planes: int = 12, seed: int = 11,
+                      n_planes: int = 8, n_bands: int = 8, seed: int = 11,
                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Approximate top-k: equi-join on hyperplane bucket, exact cosine
-    within buckets, window top-k.  Queries with empty buckets simply
-    return fewer rows (recall/cost tradeoff is the point)."""
-    c = hyperplane_signature(corpus, dim, n_planes, seed, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), "lsh_sig"
+    """Approximate top-k: candidates = pairs sharing a bucket in ANY of
+    ``n_bands`` hyperplane bands (OR-construction lifts recall), exact
+    cosine within candidates, window top-k.  The bucket join is an
+    equi-join on (band, signature) — no cross product; the corpus
+    explodes to n_bands rows but the candidate set stays bucket-local."""
+
+    def banded(df, idn, vecn):
+        sigs = hyperplane_signature(df, dim, n_planes, seed, vec_col, n_bands)
+        return sigs.select(
+            F.col(id_col).alias(idn), F.col(vec_col).alias(vecn),
+            F.posexplode("lsh_sigs").alias("band", "sig"),
+        )
+
+    c = banded(corpus, "neighbor_id", "cvec")
+    q = banded(queries, "query_id", "qvec")
+    joined = (
+        c.join(F.broadcast(q), ["band", "sig"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
-    q = hyperplane_signature(queries, dim, n_planes, seed, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "lsh_sig"
-    )
-    joined = c.join(F.broadcast(q), "lsh_sig").where(F.col("query_id") != F.col("neighbor_id"))
 
     @F.pandas_udf(T.DoubleType())
     def cos(a: pd.Series, b: pd.Series) -> pd.Series:

@@ -40,21 +40,28 @@ class SpaceSaving:
     # ---------------------------------------------------------------- update
 
     def update_batch(self, items: np.ndarray, counts: np.ndarray) -> "SpaceSaving":
-        """Fold an exact (item, count) frequency table into the summary."""
+        """Fold an exact (item, count) frequency table into the summary.
+
+        Bulk form of the mergeable-summaries fold (the batch table is an
+        exact summary with zero error): untracked items enter at
+        ``floor + c`` where ``floor`` is the current min count (an upper
+        bound on their pre-batch frequency, exactly the classic
+        Space-Saving eviction inheritance, ``StreamSummary.java:117-124``),
+        then one sorted truncation back to capacity.  O((cap + uniq)
+        log) per batch instead of O(uniq · cap) per-item eviction scans.
+        """
+        self.n += int(counts.sum())
+        floor = min(self.counts.values()) if len(self.counts) >= self.capacity else 0
         for item, c in zip(items.tolist(), counts.tolist()):
-            c = int(c)
-            self.n += c
             if item in self.counts:
-                self.counts[item] += c
-            elif len(self.counts) < self.capacity:
-                self.counts[item] = c
-                self.errors[item] = 0
+                self.counts[item] += int(c)
             else:
-                evict, min_c = min(self.counts.items(), key=lambda kv: (kv[1], _key(kv[0])))
-                del self.counts[evict]
-                self.errors.pop(evict, None)
-                self.counts[item] = min_c + c
-                self.errors[item] = min_c
+                self.counts[item] = int(c) + floor
+                self.errors[item] = floor
+        if len(self.counts) > self.capacity:
+            ranked = sorted(self.counts.items(), key=lambda kv: (-kv[1], _key(kv[0])))
+            self.counts = dict(ranked[: self.capacity])
+            self.errors = {k: self.errors.get(k, 0) for k in self.counts}
         return self
 
     # ---------------------------------------------------------------- merge

@@ -1,0 +1,74 @@
+"""Kill-and-resume: a checkpointed sketch job interrupted at any point
+resumes to a byte-identical final state (north rule; BASELINE.md
+'Resumability')."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from stream_lib_spark.agg import SketchSpec
+from stream_lib_spark.jobs.checkpoint import CheckpointedSketchJob
+
+
+@pytest.fixture()
+def ckpt_dir(tmp_path):
+    d = str(tmp_path / "ckpt")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _job(spark, ckpt_dir, snap, keys=None):
+    return CheckpointedSketchJob(
+        spark=spark,
+        spec=SketchSpec("hll", p=12),
+        col="user_id",
+        keys=keys or [],
+        n_buckets=16,
+        checkpoint_dir=ckpt_dir,
+        snapshot_id=snap,
+        bucket_cols=["event_id"],
+    )
+
+
+def test_resume_byte_identical(spark, ckpt_dir, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    # uninterrupted run
+    full = _job(spark, ckpt_dir, "full").run(ev)
+    blob_full = bytes(full.collect()[0]["sketch"])
+
+    # killed run: only 5 buckets complete, then resume twice
+    job = _job(spark, ckpt_dir, "killed")
+    assert job.build_partials(ev, max_buckets=5) == 5
+    assert len(job._done_buckets()) == 5
+    assert job.build_partials(ev, max_buckets=7) == 7
+    out = job.run(ev)  # finishes the remaining 4 + merges
+    blob_resumed = bytes(out.collect()[0]["sketch"])
+
+    assert blob_resumed == blob_full
+    # re-invoking a finished job recomputes nothing and is stable
+    assert job.build_partials(ev) == 0
+    assert bytes(job.final_merge().collect()[0]["sketch"]) == blob_full
+
+
+def test_metrics_lineage_rows(spark, ckpt_dir, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    job = _job(spark, ckpt_dir, "metrics")
+    job.run(ev)
+    m = job.metrics().toPandas()
+    assert len(m) == 16  # one lineage row per bucket
+    assert m["rows_seen"].sum() == ev.count()
+    assert m["state_sha256"].str.len().eq(64).all()
+
+
+def test_keyed_checkpoint_resume(spark, ckpt_dir, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    full = _job(spark, ckpt_dir, "kfull", keys=["event_type"]).run(ev)
+    ref = {r["event_type"]: bytes(r["sketch"]) for r in full.collect()}
+
+    job = _job(spark, ckpt_dir, "kkill", keys=["event_type"])
+    job.build_partials(ev, max_buckets=9)
+    out = job.run(ev)
+    got = {r["event_type"]: bytes(r["sketch"]) for r in out.collect()}
+    assert got == ref

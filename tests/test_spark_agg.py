@@ -141,3 +141,38 @@ def _xxhash64_int(spark, vals):
     df = spark.createDataFrame(pd.DataFrame({"k": vals}))
     out = df.select(F.xxhash64(F.col("k").cast("long")).alias("h")).toPandas()["h"]
     return out.to_numpy().astype(np.int64)
+
+
+def test_multi_sketch_single_pass(spark, events):
+    import math
+
+    from stream_lib_spark.agg import multi_sketch_agg
+
+    out = multi_sketch_agg(
+        events,
+        {
+            "hll_users": ("user_id", SketchSpec("hll", p=12)),
+            "cms_types": ("event_type", SketchSpec("cms", eps=1e-3, confidence=0.99)),
+            "td_value": ("value", SketchSpec("tdigest", compression=100.0)),
+            "ss_types": ("event_type", SketchSpec("spacesaving", capacity=16)),
+        },
+    ).collect()[0]
+    exact_users = events.select("user_id").distinct().count()
+    hll = sketch_from_bytes(bytes(out["hll_users"]))
+    assert abs(hll.cardinality() - exact_users) <= max(3 * exact_users * 1.04 / math.sqrt(1 << 12), 1)
+    cms = sketch_from_bytes(bytes(out["cms_types"]))
+    assert cms.size == events.where(F.col("event_type").isNotNull()).count()
+    td = sketch_from_bytes(bytes(out["td_value"]))
+    assert td.total == events.where(F.col("value").isNotNull()).count()
+    ss = sketch_from_bytes(bytes(out["ss_types"]))
+    top = [t[0] for t in ss.top_k(1)]
+    exact_top = events.groupBy("event_type").count().orderBy(F.desc("count"), "event_type").first()
+    assert top[0] == exact_top["event_type"]
+
+
+def test_multi_sketch_matches_individual(spark, events):
+    from stream_lib_spark.agg import multi_sketch_agg
+
+    multi = multi_sketch_agg(events, {"h": ("user_id", SketchSpec("hll", p=13))}).collect()[0]
+    single = sketch_agg(events, [], "user_id", SketchSpec("hll", p=13)).collect()[0]
+    assert bytes(multi["h"]) == bytes(single["sketch"])

@@ -1,0 +1,130 @@
+"""Text/dedup/similarity operator tests against exact numpy/python
+oracles at sf0.001."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from stream_lib_spark.textops import (
+    doc_fingerprint,
+    exact_dedup_stats,
+    langid_heuristic,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    quality_buckets,
+    simhash64,
+    simhash_near_dups,
+    token_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def _jaccard(a: str, b: str, n=5) -> float:
+    def sh(t):
+        w = t.lower().split()
+        return set(" ".join(w[i : i + n]) for i in range(max(len(w) - n + 1, 1)))
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_dedup_matches_python(spark, docs):
+    got = {r["source"]: (r["n_docs"], r["n_distinct"]) for r in exact_dedup_stats(docs).collect()}
+    pdf = docs.toPandas()
+    import re
+
+    pdf["fp"] = pdf["text"].map(lambda t: re.sub(r"\s+", " ", t.lower().strip()))
+    for src, g in pdf.groupby("source"):
+        assert got[src] == (len(g), g["fp"].nunique())
+
+
+def test_minhash_estimates_jaccard(spark, docs):
+    sigs = {r["doc_id"]: np.array(r["signature"]) for r in minhash_signatures(docs, 128).collect()}
+    pdf = docs.toPandas().set_index("doc_id")["text"]
+    rng = np.random.RandomState(0)
+    ids = list(sigs)
+    for _ in range(30):
+        a, b = rng.choice(ids, 2, replace=False)
+        est = float((sigs[a] == sigs[b]).mean())
+        true = _jaccard(pdf[a], pdf[b])
+        assert abs(est - true) <= 0.2  # 128 hashes → se ~ 0.044; 4.5 sigma
+    # identical docs → identical signatures
+    (a,) = rng.choice(ids, 1)
+    assert (sigs[a] == sigs[a]).all()
+
+
+def test_minhash_lsh_finds_true_duplicates(spark, docs):
+    # plant near-duplicates: doc ∪ same doc with one word changed
+    base = docs.limit(5).toPandas()
+    rows = []
+    for i, r in base.iterrows():
+        rows.append((1000 + i, r["text"]))
+        rows.append((2000 + i, r["text"] + " extra"))
+    planted = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(planted, threshold=0.5).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    for i in range(len(base)):
+        assert (1000 + i, 2000 + i) in found
+
+
+def test_simhash_identical_and_hamming(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    pdf = docs.toPandas()
+    dup = pdf.groupby(pdf["text"].str.lower())["doc_id"].apply(list)
+    for ids in dup:
+        if len(ids) > 1:
+            assert len({sh[i] for i in ids}) == 1  # same text → same simhash
+    near = simhash_near_dups(docs, hamming_max=3).collect()
+    for r in near:
+        assert bin(sh[r["id_a"]] ^ sh[r["id_b"]]).count("1") == r["hamming"]
+        assert r["hamming"] <= 3
+
+
+def test_ngram_jaccard_exact(spark):
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b c d e f"),  # identical → jaccard 1.0
+        (3, "a b c d e g"),  # shares 3 of 4+... trigram overlap
+        (4, "x y z w v u"),
+    ]
+    df = rows_df(rows)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(df, n=3, threshold=0.2).collect()}
+    assert got[(1, 2)] == 1.0
+    assert (1, 4) not in got
+    assert 0.2 <= got[(1, 3)] < 1.0
+
+
+_spark_holder = {}
+
+
+def rows_df(rows):
+    return _spark_holder["s"].createDataFrame(rows, ["doc_id", "text"])
+
+
+@pytest.fixture(autouse=True)
+def _hold_spark(spark):
+    _spark_holder["s"] = spark
+
+
+def test_langid_and_quality_run(spark, docs):
+    out = docs.withColumn("lp", langid_heuristic()).groupBy("lp").count().collect()
+    assert sum(r["count"] for r in out) == docs.count()
+    qb = quality_buckets(docs).collect()
+    assert sum(r["n_docs"] for r in qb) == docs.count()
+    ts = token_stats(docs).collect()
+    pdf = docs.toPandas()
+    true_total = int(pdf["text"].str.strip().str.split().map(len).sum())
+    assert sum(r["total_tokens"] for r in ts) == true_total
+
+
+def test_fingerprint_is_normalization_invariant(spark):
+    df = rows_df([(1, "Hello   World"), (2, "hello world"), (3, "other text")])
+    fps = [r[0] for r in df.select(doc_fingerprint()).collect()]
+    assert fps[0] == fps[1] != fps[2]

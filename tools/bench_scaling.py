@@ -1,0 +1,97 @@
+"""Two-parallelism scaling harness (north rule: throughput at N and 4N
+"executors" — local[8] vs local[32] in the sandbox — with efficiency
+>= 0.8).
+
+Each parallelism level runs in its OWN process (fresh JVM: driver
+memory, GC, and master are per-run, so the A/B is fair).  The measured
+job is the transcript sketch pass (HLL distinct conv_id + CMS text
+frequency) over a ~5M-turn synthetic transcript table, after a full
+warm-up pass so Python workers / JIT / page cache are steady-state —
+the cluster-reuse regime the 10^12-turn deployment runs in.
+
+Usage:
+  python tools/bench_scaling.py            # orchestrate both runs, print summary JSON
+  python tools/bench_scaling.py --run 8    # single measured run (internal)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SCALING_PARQUET = "/tmp/bench_transcripts_scaling_v2.parquet"
+N_CONVS = 480_000  # ~20M turns
+
+
+def materialize(spark):
+    from stream_lib_spark.transcripts import generate_transcripts
+
+    if not os.path.exists(os.path.join(SCALING_PARQUET, "_SUCCESS")):
+        generate_transcripts(spark, n_convs=N_CONVS, partitions=64).write.mode(
+            "overwrite"
+        ).parquet(SCALING_PARQUET)
+    return spark.read.parquet(SCALING_PARQUET)
+
+
+def measured_job(spark, tr):
+    """One multi-sketch pass (single scan, single Arrow crossing):
+    HLL distinct conv_id + CMS text frequency + t-digest turn depth,
+    with murmur64 hashing *inside* the Python workers — the reference's
+    offer() hot loop, vectorized (SURVEY.md §1.4)."""
+    from stream_lib_spark.agg import SketchSpec, multi_sketch_agg
+
+    multi_sketch_agg(
+        tr,
+        {
+            "hll_convs": ("conv_id", SketchSpec("hll", p=14)),
+            "cms_text": ("text", SketchSpec("cms", eps=1e-4, confidence=0.99)),
+            "td_turn": ("turn_idx", SketchSpec("tdigest", compression=100.0)),
+        },
+        hash_mode="murmur64",
+    ).collect()
+
+
+def single_run(cpus: int) -> dict:
+    from stream_lib_spark.jobs.session import get_spark
+
+    spark = get_spark(f"scaling-{cpus}", cpus=cpus, shuffle_partitions=max(cpus * 2, 16))
+    tr = materialize(spark)
+    n = tr.count()
+    measured_job(spark, tr)  # warm-up: full pass (workers, JIT, page cache)
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        measured_job(spark, tr)
+        times.append(time.time() - t0)
+    dt = min(times)  # capability: best of 3 (the sandbox VM is noisy)
+    spark.stop()
+    return {"cpus": cpus, "sec": round(dt, 3), "runs": [round(t, 3) for t in times],
+            "n_turns": n, "turns_per_sec": round(n / dt, 1)}
+
+
+def orchestrate() -> dict:
+    results = {}
+    for cpus in (4, 16):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--run", str(cpus)],
+            capture_output=True, text=True, timeout=1200,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[f"local[{cpus}]"] = json.loads(line)
+    t8, t32 = results["local[4]"]["sec"], results["local[16]"]["sec"]
+    results["speedup_n_to_4n"] = round(t8 / t32, 3)
+    results["scaling_efficiency"] = round((t8 / t32) / 4.0, 3)
+    return results
+
+
+if __name__ == "__main__":
+    if "--run" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--run") + 1])
+        print(json.dumps(single_run(cpus)))
+    else:
+        print(json.dumps(orchestrate(), indent=2))
