@@ -36,12 +36,25 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from .hashing import murmur64a_array
-from .sketches.base import unpack_header, KIND_HLLPP, KIND_CMS, KIND_TDIGEST, KIND_KLL, KIND_BLOOM, KIND_SPACESAVING
+import pyarrow as pa
+
+from .hashing import murmur64a_array, murmur64a_chunked
+from .sketches.base import (
+    KIND_BLOOM,
+    KIND_CMS,
+    KIND_HLLPP,
+    KIND_KLL,
+    KIND_LINEARCOUNTING,
+    KIND_LOGLOG,
+    KIND_SPACESAVING,
+    KIND_TDIGEST,
+    unpack_header,
+)
 from .sketches.bloom import BloomFilter
 from .sketches.cms import CountMinSketch
 from .sketches.hll import HllPlusPlus
 from .sketches.kll import KLL
+from .sketches.linear import LinearCounting, LogLog
 from .sketches.spacesaving import SpaceSaving
 from .sketches.tdigest import TDigest
 
@@ -54,6 +67,8 @@ _KIND_TO_CLS = {
     KIND_KLL: KLL,
     KIND_BLOOM: BloomFilter,
     KIND_SPACESAVING: SpaceSaving,
+    KIND_LINEARCOUNTING: LinearCounting,
+    KIND_LOGLOG: LogLog,
 }
 
 
@@ -77,6 +92,8 @@ class SketchSpec:
         "kll": (lambda p: KLL(**p), "value"),
         "bloom": (lambda p: BloomFilter.for_capacity(**p) if "fpp" in p else BloomFilter(**p), "hash"),
         "spacesaving": (lambda p: SpaceSaving(**p), "item"),
+        "linearcounting": (lambda p: LinearCounting.for_cardinality(**p) if "max_n" in p else LinearCounting(**p), "hash"),
+        "loglog": (lambda p: LogLog(**p), "hash"),
     }
 
     def __init__(self, kind: str, **params):
@@ -122,12 +139,70 @@ def _prepare_input(df: DataFrame, keys: list[str], col: str, spec: SketchSpec,
     return df.select(*kc, F.col(col).cast("string").alias("__in")), False
 
 
+def _np_from_arrow(arr, mode: str, python_hash: bool):
+    """Arrow column → numpy input for a sketch update, with no per-row
+    Python: string hashing reads the Arrow offsets/data buffers directly
+    (``murmur64a_chunked``); numeric columns are zero-copy views.
+    Returns None for an all-null/empty column; for 'item' mode returns
+    (values, counts) from Arrow's C++ value_counts."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        arr = arr.drop_null()
+    if len(arr) == 0:
+        return None
+    if mode == "hash":
+        if python_hash:
+            width = 8 if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type) else 4
+            dtype = np.int64 if width == 8 else np.int32
+            offsets = np.frombuffer(arr.buffers()[1], dtype=dtype,
+                                    count=len(arr) + 1, offset=arr.offset * width)
+            data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+            return murmur64a_chunked(data, offsets).view(np.int64)
+        return arr.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    if mode == "value":
+        return arr.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    vc = pa.compute.value_counts(arr)
+    return (np.array(vc.field("values").to_pylist(), dtype=object),
+            vc.field("counts").to_numpy())
+
+
+def _arrow_global_build(specs: dict[str, SketchSpec], modes: dict[str, str],
+                        python_hash: bool):
+    """mapInArrow kernel: fold every batch of a partition into one
+    sketch per name; emit a single binary row."""
+
+    def build(batches):
+        states = {n: specs[n].new() for n in specs}
+        for rb in batches:
+            tbl = pa.Table.from_batches([rb])
+            for n, spec in specs.items():
+                got = _np_from_arrow(tbl.column(f"__in_{n}"), modes[n], python_hash)
+                if got is None:
+                    continue
+                if modes[n] == "item":
+                    spec.update(states[n], got[0], got[1])
+                else:
+                    spec.update(states[n], got)
+        yield pa.RecordBatch.from_pydict(
+            {n: pa.array([states[n].to_bytes()], type=pa.binary()) for n in specs}
+        )
+
+    return build
+
+
 def sketch_partials(df: DataFrame, keys: list[str], col: str, spec: SketchSpec,
                     hash_mode: str = "xxhash64") -> DataFrame:
     """Partition-local sketch build: one (keys..., sketch BinaryType)
     row per key per input partition.  Vectorized: numpy kernels over
-    whole Arrow batches, pandas groupby for the keyed split."""
+    whole Arrow batches; the global (key-less) path runs ``mapInArrow``
+    with zero-copy buffer access — no per-row Python anywhere."""
     prepared, python_hash = _prepare_input(df, keys, col, spec, hash_mode)
+
+    if not keys:
+        prepared = prepared.withColumnRenamed("__in", f"__in_{STATE_COL}")
+        build = _arrow_global_build({STATE_COL: spec}, {STATE_COL: spec.input_mode}, python_hash)
+        return prepared.mapInArrow(build, schema=f"{STATE_COL} binary")
     key_fields = [prepared.schema[k] for k in keys]
     out_schema = T.StructType(key_fields + [T.StructField(STATE_COL, T.BinaryType())])
 
@@ -282,6 +357,11 @@ def multi_sketch_agg(df: DataFrame, sketches: dict[str, tuple[str, SketchSpec]],
     names = list(sketches)
     specs = {n: sketches[n][1] for n in names}
 
+    if not keys:
+        arrow_build = _arrow_global_build(specs, modes, python_hash)
+        partials = prepared.mapInArrow(arrow_build, schema=T.StructType(state_fields))
+        return _merge_multi(partials, [], names, specs, out_schema)
+
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         states: dict[tuple, dict[str, object]] = {}
 
@@ -322,7 +402,11 @@ def multi_sketch_agg(df: DataFrame, sketches: dict[str, tuple[str, SketchSpec]],
         yield pd.DataFrame(rows, columns=keys + names)
 
     partials = prepared.mapInPandas(build, schema=out_schema)
+    return _merge_multi(partials, keys, names, specs, out_schema)
 
+
+def _merge_multi(partials: DataFrame, keys: list[str], names: list[str],
+                 specs: dict[str, SketchSpec], out_schema: T.StructType) -> DataFrame:
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         out = {}
         for n in names:

@@ -161,3 +161,32 @@ def clz64(x: np.ndarray) -> np.ndarray:
     # x == 0 originally → all steps matched → n == 63; bump to 64
     n += (x >> U64(63)) == 0
     return n
+
+
+def murmur64a_chunked(data: np.ndarray, offsets: np.ndarray,
+                      seed: int | np.uint64 = MURMUR64_DEFAULT_SEED) -> np.ndarray:
+    """MurmurHash64A over variable-length byte strings given as Arrow
+    buffers: ``data`` = concatenated UTF-8 bytes (uint8), ``offsets`` =
+    int offsets of length n+1.  Zero per-row Python: rows are grouped by
+    byte length and each group is hashed as a dense (n, L) uint8 matrix
+    gathered straight from the Arrow data buffer."""
+    offsets = offsets.astype(np.int64, copy=False)
+    starts, lengths = offsets[:-1], np.diff(offsets)
+    n = len(starts)
+    out = np.zeros(n, dtype=U64)
+    if n == 0:
+        return out
+    with np.errstate(over="ignore"):
+        for L in np.unique(lengths):
+            sel = np.nonzero(lengths == L)[0]
+            if L == 0:
+                h = U64(seed) ^ U64(0)
+                h ^= h >> _R
+                h = h * _M
+                h ^= h >> _R
+                out[sel] = h
+                continue
+            # vectorized gather: (n_sel, L) matrix from the flat buffer
+            buf = data[starts[sel][:, None] + np.arange(L, dtype=np.int64)[None, :]]
+            out[sel] = _murmur64a_fixed(buf, int(L), seed)
+    return out

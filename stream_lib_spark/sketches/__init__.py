@@ -3,6 +3,7 @@ from .bloom import BloomFilter
 from .cms import CountMinSketch
 from .hll import HllPlusPlus
 from .kll import KLL
+from .linear import LinearCounting, LogLog
 from .spacesaving import SpaceSaving
 from .tdigest import TDigest
 
@@ -11,6 +12,8 @@ __all__ = [
     "CountMinSketch",
     "HllPlusPlus",
     "KLL",
+    "LinearCounting",
+    "LogLog",
     "SketchMergeError",
     "SpaceSaving",
     "TDigest",
