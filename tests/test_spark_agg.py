@@ -176,3 +176,22 @@ def test_multi_sketch_matches_individual(spark, events):
     multi = multi_sketch_agg(events, {"h": ("user_id", SketchSpec("hll", p=13))}).collect()[0]
     single = sketch_agg(events, [], "user_id", SketchSpec("hll", p=13)).collect()[0]
     assert bytes(multi["h"]) == bytes(single["sketch"])
+
+
+def test_salted_two_phase_exact_agg(spark):
+    # north rule: explicit salted-key repartitioning for skewed exact
+    # aggregation — two-phase (key, salt) -> key matches direct groupBy
+    from stream_lib_spark.agg import salted_split
+    from stream_lib_spark.transcripts import generate_transcripts
+
+    t = generate_transcripts(spark, n_convs=100, partitions=4)  # conv-0 is hot
+    salted = salted_split(t, "conv_id", salts=8)
+    two_phase = (
+        salted.groupBy("conv_id", "__salt")
+        .agg(F.count("*").alias("c"))
+        .groupBy("conv_id")
+        .agg(F.sum("c").alias("n_turns"))
+    )
+    direct = t.groupBy("conv_id").agg(F.count("*").alias("n_turns"))
+    assert two_phase.exceptAll(direct).count() == 0
+    assert direct.exceptAll(two_phase).count() == 0

@@ -1,0 +1,152 @@
+"""N-executor scaling simulation with REAL process isolation.
+
+``local[K]`` is a poor stand-in for a multi-executor cluster: all K
+"executors" share one JVM heap, one Python-runner loopback namespace
+and one DAG scheduler, and on this sandbox that shared plumbing stops
+scaling past ~8-16 concurrent runners even though raw CPU scales
+(see BENCH.md).  A cluster gives each executor its own JVM and Python
+workers — so this harness simulates executors the same way: N
+independent ``local[1]`` Spark *processes*, each building sketch
+partials for its disjoint shard of the input files (exactly the
+partition-local phase of the two-level merge), barrier-started so they
+contend like co-scheduled executors, partials merged by the sketch
+monoid at the end (the tree-merge phase, timed separately).
+
+Usage:
+  python tools/bench_scaling_multiproc.py              # N=4 vs 4N=16
+  python tools/bench_scaling_multiproc.py --worker ... # internal
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+INPUT = os.environ.get("SCALING_INPUT", "/tmp/bench_transcripts_scaling_v2.parquet")
+WORKDIR = "/tmp/scaling_multiproc"
+
+
+def worker(idx: int, n_workers: int, run_id: str) -> None:
+    files = sorted(glob.glob(f"{INPUT}/part-*.parquet"))[idx::n_workers]
+    from stream_lib_spark.agg import SketchSpec, multi_sketch_agg
+    from stream_lib_spark.jobs.session import get_spark
+
+    os.environ["SPARK_GRAFT_DRIVER_MEM"] = "3g"
+    spark = get_spark(f"shard-{idx}", cpus=1, shuffle_partitions=4)
+    df = spark.read.parquet(*files)
+
+    def job():
+        return multi_sketch_agg(
+            df,
+            {
+                "hll_convs": ("conv_id", SketchSpec("hll", p=14)),
+                "cms_text": ("text", SketchSpec("cms", eps=1e-4, confidence=0.99)),
+                "td_turn": ("turn_idx", SketchSpec("tdigest", compression=100.0)),
+            },
+            hash_mode="murmur64",
+        ).collect()
+
+    n = df.count()
+    job()  # warm: JIT, python workers, page cache
+    # barrier: signal ready, wait for go
+    ready = os.path.join(WORKDIR, run_id, f"ready-{idx}")
+    go = os.path.join(WORKDIR, run_id, "go")
+    open(ready, "w").close()
+    while not os.path.exists(go):
+        time.sleep(0.05)
+    t0 = time.time()
+    rows = job()
+    dt = time.time() - t0
+    out = {"idx": idx, "sec": round(dt, 3), "rows": n}
+    with open(os.path.join(WORKDIR, run_id, f"result-{idx}.json"), "w") as f:
+        json.dump(out, f)
+    # persist partial blobs for the merge-phase timing
+    import base64
+
+    blobs = {k: base64.b64encode(bytes(rows[0][k])).decode() for k in ("hll_convs", "cms_text", "td_turn")}
+    with open(os.path.join(WORKDIR, run_id, f"partial-{idx}.json"), "w") as f:
+        json.dump(blobs, f)
+    spark.stop()
+
+
+def run_level(n_workers: int) -> dict:
+    run_id = f"n{n_workers}-{int(time.time())}"
+    rundir = os.path.join(WORKDIR, run_id)
+    os.makedirs(rundir, exist_ok=True)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--worker", str(i), str(n_workers), run_id],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        for i in range(n_workers)
+    ]
+    # wait for all ready, then release the barrier
+    while sum(os.path.exists(os.path.join(rundir, f"ready-{i}")) for i in range(n_workers)) < n_workers:
+        time.sleep(0.2)
+        if any(p.poll() not in (None, 0) for p in procs):
+            raise RuntimeError("worker died before barrier")
+    t_go = time.time()
+    open(os.path.join(rundir, "go"), "w").close()
+    for p in procs:
+        if p.wait() != 0:
+            raise RuntimeError("worker failed")
+    wall = time.time() - t_go
+    results = []
+    total_rows = 0
+    for i in range(n_workers):
+        with open(os.path.join(rundir, f"result-{i}.json")) as f:
+            r = json.load(f)
+        results.append(r["sec"])
+        total_rows += r["rows"]
+    # merge phase (driver-side fold of n_workers blobs per sketch)
+    import base64
+
+    from stream_lib_spark.agg import sketch_from_bytes
+
+    t0 = time.time()
+    merged = {}
+    for i in range(n_workers):
+        with open(os.path.join(rundir, f"partial-{i}.json")) as f:
+            blobs = json.load(f)
+        for k, b64 in blobs.items():
+            sk = sketch_from_bytes(base64.b64decode(b64))
+            merged[k] = sk if k not in merged else merged[k].merge(sk)
+    merge_sec = time.time() - t0
+    est = merged["hll_convs"].cardinality()
+    return {
+        "executors": n_workers,
+        "wall_sec": round(wall, 3),
+        "per_worker_sec": results,
+        "merge_sec": round(merge_sec, 3),
+        "rows": total_rows,
+        "turns_per_sec": round(total_rows / wall, 1),
+        "hll_estimate": round(est, 1),
+    }
+
+
+def orchestrate(levels=(4, 16)) -> dict:
+    out = {}
+    for n in levels:
+        out[f"executors={n}"] = run_level(n)
+    t4, t16 = out[f"executors={levels[0]}"]["wall_sec"], out[f"executors={levels[1]}"]["wall_sec"]
+    out["speedup_n_to_4n"] = round(t4 / t16, 3)
+    out["scaling_efficiency"] = round((t4 / t16) / 4.0, 3)
+    return out
+
+
+if __name__ == "__main__":
+    if "--worker" in sys.argv:
+        i = sys.argv.index("--worker")
+        worker(int(sys.argv[i + 1]), int(sys.argv[i + 2]), sys.argv[i + 3])
+    else:
+        levels = (4, 16)
+        if "--levels" in sys.argv:
+            i = sys.argv.index("--levels")
+            levels = tuple(int(x) for x in sys.argv[i + 1].split(","))
+        print(json.dumps(orchestrate(levels), indent=2))
