@@ -1,0 +1,150 @@
+"""Structured Streaming ingestion into sketch state.
+
+The reference consumes unbounded streams through ``offer()`` one item
+at a time (``cardinality/ICardinality.java:22-72``).  The Spark-native
+equivalent: a Structured Streaming query whose micro-batches fold into
+a persisted sketch state via the same two-level monoid merge —
+``foreachBatch`` runs the batch-mode ``sketch_agg`` on each micro-batch
+and merges the result into a versioned state store.
+
+Exactly-once: the state store records the last applied ``batch_id``;
+replayed micro-batches (restart after failure, which Structured
+Streaming guarantees to re-deliver with the same batch_id) are skipped,
+so the final state equals the uninterrupted run byte-for-byte — the
+streaming twin of jobs/checkpoint.py.
+
+``streaming_sketch_query`` returns the StreamingQuery; use
+``read_state`` to get the current sketch at any time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .agg import SketchSpec, sketch_from_bytes, sketch_agg
+
+
+class SketchStateStore:
+    """Tiny versioned single-sketch state store on a filesystem dir
+    (an Iceberg/Delta table at deploy time).  Writes are atomic
+    (tmp + rename); state carries the last applied streaming batch id."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    @property
+    def _state_file(self) -> str:
+        return os.path.join(self.path, "state.json")
+
+    def read(self) -> tuple[object | None, int]:
+        if not os.path.exists(self._state_file):
+            return None, -1
+        with open(self._state_file) as f:
+            doc = json.load(f)
+        import base64
+
+        return sketch_from_bytes(base64.b64decode(doc["blob"])), doc["batch_id"]
+
+    def write(self, sketch, batch_id: int) -> None:
+        import base64
+
+        tmp = self._state_file + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"blob": base64.b64encode(sketch.to_bytes()).decode(),
+                       "batch_id": batch_id}, f)
+        os.replace(tmp, self._state_file)
+
+
+def streaming_sketch_query(stream_df: DataFrame, col: str, spec: SketchSpec,
+                           state_dir: str, checkpoint_dir: str,
+                           trigger_available_now: bool = True):
+    """Fold a streaming DataFrame's column into a persisted sketch.
+
+    Each micro-batch: batch-mode two-level sketch_agg (partition
+    partials → merge) → monoid-merge into the stored state.  Restart
+    safety: batches with id <= stored batch_id are no-ops.
+    """
+    store = SketchStateStore(state_dir)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        current, last_id = store.read()
+        if batch_id <= last_id:
+            return  # replayed batch after restart — already applied
+        rows = sketch_agg(batch_df, [], col, spec).collect()
+        batch_sketch = sketch_from_bytes(bytes(rows[0]["sketch"]))
+        merged = batch_sketch if current is None else current.merge(batch_sketch)
+        store.write(merged, batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_state(state_dir: str):
+    """Current sketch from a streaming state store (None if empty)."""
+    sketch, _ = SketchStateStore(state_dir).read()
+    return sketch
+
+
+def keyed_streaming_sketch(stream_df: DataFrame, keys: list[str], col: str,
+                           spec: SketchSpec):
+    """Per-key streaming sketch state via ``applyInPandasWithState``:
+    each key group holds its serialized sketch as GroupState; every
+    micro-batch folds the group's new rows (JVM-hashed, Arrow-batched)
+    into the state and emits (keys..., sketch, estimate) in Update mode.
+
+    This is the reference's per-stream ``offer()`` loop as a native
+    Spark stateful operator — state lives in the state store
+    (RocksDB/HDFS-backed on a cluster), so it survives restarts with
+    Structured Streaming's exactly-once guarantees.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    mode = spec.input_mode
+    c = F.col(col)
+    if mode == "hash":
+        in_col = F.when(c.isNotNull(), F.xxhash64(c)).alias("__in")
+    elif mode == "value":
+        in_col = c.cast("double").alias("__in")
+    else:
+        in_col = c.cast("string").alias("__in")
+    prepared = stream_df.select(*[F.col(k) for k in keys], in_col)
+
+    out_schema = ", ".join(f"{k} string" for k in keys) + ", sketch binary, estimate double"
+    state_schema = "blob binary"
+
+    def fold(key, pdfs, state: GroupState):
+        import numpy as np
+
+        if state.exists:
+            sk = sketch_from_bytes(bytes(state.get[0]))
+        else:
+            sk = spec.new()
+        for pdf in pdfs:
+            arr = pdf["__in"].dropna()
+            if len(arr) == 0:
+                continue
+            if mode == "hash":
+                spec.update(sk, arr.to_numpy().astype(np.int64, copy=False))
+            elif mode == "value":
+                spec.update(sk, arr.to_numpy().astype(np.float64, copy=False))
+            else:
+                vc = arr.value_counts()
+                spec.update(sk, vc.index.to_numpy(), vc.to_numpy())
+        state.update((sk.to_bytes(),))
+        est = float(sk.cardinality()) if hasattr(sk, "cardinality") else float("nan")
+        yield pd.DataFrame({**{k: [str(v)] for k, v in zip(keys, key)},
+                            "sketch": [sk.to_bytes()], "estimate": [est]})
+
+    return prepared.groupBy(*keys).applyInPandasWithState(
+        fold, out_schema, state_schema, "Update", GroupStateTimeout.NoTimeout
+    )
