@@ -305,6 +305,48 @@ def q_ann_topk(spark, sf_dir):
     return brute_force_topk(emb, queries, k=3).drop("cosine")
 
 
+def _derived_transcripts(spark, sf_dir):
+    """Transcript-shaped view derived deterministically from events
+    (conv_id = user bucket, turns ordered by ts) — SQL-mirrorable, so
+    the transcript queries get a real DuckDB oracle."""
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    conv = F.concat(F.lit("conv-"), (F.col("user_id") % 50).cast("string"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("conv_id", conv)
+        .withColumn("turn_idx", (F.row_number().over(w) - 1).cast("int"))
+        .withColumn("latency_s",
+                    (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).cast("double") / 1e6)
+    )
+
+
+def q_transcript_convs(spark, sf_dir):
+    _ship(spark)
+    from stream_lib_spark.agg import SketchSpec, collect_sketch, sketch_agg
+
+    t = _derived_transcripts(spark, sf_dir)
+    p = 12
+    est = collect_sketch(sketch_agg(t, [], "conv_id", SketchSpec("hll", p=p))).cardinality()
+    exact = t.select("conv_id").distinct().count()
+    ok = abs(est - exact) <= max(3.0 * 1.04 / math.sqrt(1 << p) * exact, 1.0)
+    return spark.createDataFrame([(exact, bool(ok))], "exact_convs long, hll_ok boolean")
+
+
+def q_transcript_latency(spark, sf_dir):
+    _ship(spark)
+    from stream_lib_spark.agg import SketchSpec, collect_sketch, sketch_agg
+
+    t = _derived_transcripts(spark, sf_dir).where(F.col("latency_s").isNotNull())
+    td = collect_sketch(sketch_agg(t, [], "latency_s", SketchSpec("tdigest", compression=100.0)))
+    n = t.count()
+    ests = [(q, td.quantile(q)) for q in QS]
+    agg = t.agg(
+        *[F.sum((F.col("latency_s") <= F.lit(v)).cast("long")).alias(f"r{i}") for i, (_, v) in enumerate(ests)]
+    ).collect()[0]
+    rows = [(q, bool(abs(agg[f"r{i}"] / n - q) <= 0.012)) for i, (q, _) in enumerate(ests)]
+    return spark.createDataFrame(rows, "q double, within_bound boolean")
+
+
 # ------------------------------------------------------- rows-only (no SQL)
 
 def q_minhash_dedup_pairs(spark, sf_dir):
@@ -358,6 +400,8 @@ def q_image_features(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hll_users_by_type": q_hll_users_by_type,
+        "transcript_convs": q_transcript_convs,
+        "transcript_latency": q_transcript_latency,
         "hll_orders_global": q_hll_orders_global,
         "cms_event_freq": q_cms_event_freq,
         "tdigest_value_quantiles": q_tdigest_value_quantiles,
@@ -430,6 +474,13 @@ def oracle_sql() -> dict[str, str]:
         "hll_users_by_type": (
             "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS hll_ok "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "transcript_convs": (
+            "SELECT COUNT(DISTINCT 'conv-' || CAST(user_id % 50 AS VARCHAR)) AS exact_convs, "
+            "TRUE AS hll_ok FROM events"
+        ),
+        "transcript_latency": (
+            f"SELECT * FROM (VALUES {qs_rows}) AS t(q, within_bound)"
         ),
         "hll_orders_global": (
             "SELECT COUNT(DISTINCT l_orderkey) AS exact_orders, TRUE AS hll_ok FROM lineitem"
