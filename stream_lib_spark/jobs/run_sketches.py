@@ -1,0 +1,102 @@
+"""spark-submit job entry: sketch a table's columns into a metrics
+parquet (the rebuild of the reference CLIs, ``util/TopK.java:41-141``
+and ``util/ObyCount.java:37-96``, as a cluster job).
+
+Usage (sandbox / cluster — identical):
+
+    spark-submit --py-files stream_lib_spark.zip \
+        -m stream_lib_spark.jobs.run_sketches \
+        --input /data/transcripts \
+        --ops hll:conv_id:p=14 cms:text:eps=1e-4,confidence=0.99 \
+              tdigest:latency_s:compression=100 topk:tool:capacity=256 \
+        --keys tool \
+        --output /data/sketch_metrics \
+        [--checkpoint-dir /data/ckpt --snapshot-id snap-42]
+
+With ``--checkpoint-dir`` the job runs through the resumable lineage
+path (jobs/checkpoint.py): re-running after a kill resumes from the
+last completed lineage bucket and produces byte-identical output.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def parse_op(op: str):
+    """'hll:conv_id:p=14' → (name, col, SketchSpec)."""
+    from ..agg import SketchSpec
+
+    parts = op.split(":")
+    kind, col = parts[0], parts[1]
+    params = {}
+    if len(parts) > 2 and parts[2]:
+        for kv in parts[2].split(","):
+            k, v = kv.split("=")
+            try:
+                params[k] = int(v)
+            except ValueError:
+                try:
+                    params[k] = float(v)
+                except ValueError:
+                    params[k] = v
+    if kind == "topk":
+        kind = "spacesaving"
+    return f"{kind}_{col}", col, SketchSpec(kind, **params)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True, help="parquet path (Iceberg table at deploy)")
+    ap.add_argument("--ops", nargs="+", required=True, help="kind:column[:k=v,...]")
+    ap.add_argument("--keys", nargs="*", default=[], help="grouping keys")
+    ap.add_argument("--output", required=True, help="output parquet for sketch rows")
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--snapshot-id", default="snap-0")
+    ap.add_argument("--hash-mode", default="xxhash64", choices=["xxhash64", "murmur64"])
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from ..agg import multi_sketch_agg, sketch_agg
+    from .session import get_spark
+    from .checkpoint import CheckpointedSketchJob
+
+    spark = get_spark("run_sketches", cpus=args.cpus)
+    df = spark.read.parquet(args.input)
+    t0 = time.time()
+    n_rows = df.count()
+
+    if args.checkpoint_dir:
+        # resumable path: one checkpointed job per op (lineage + metrics)
+        outs = []
+        for name, col, spec in map(parse_op, args.ops):
+            job = CheckpointedSketchJob(
+                spark=spark, spec=spec, col=col, keys=args.keys,
+                checkpoint_dir=args.checkpoint_dir,
+                snapshot_id=f"{args.snapshot_id}-{name}",
+            )
+            merged = job.run(df).withColumnRenamed("sketch", name)
+            outs.append((name, merged))
+            job.metrics().write.mode("overwrite").parquet(f"{args.output}_metrics/{name}")
+        result = outs[0][1]
+        for _, o in outs[1:]:
+            result = result.join(o, args.keys) if args.keys else result.crossJoin(o.drop("rows_seen"))
+    else:
+        sketches = {}
+        for name, col, spec in map(parse_op, args.ops):
+            sketches[name] = (col, spec)
+        result = multi_sketch_agg(df, sketches, keys=args.keys, hash_mode=args.hash_mode)
+
+    result.write.mode("overwrite").parquet(args.output)
+    wall = time.time() - t0
+    print(json.dumps({"rows": n_rows, "wall_sec": round(wall, 3),
+                      "rows_per_sec": round(n_rows / wall, 1),
+                      "ops": args.ops, "output": args.output}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -27,7 +27,13 @@ def package_zip() -> str:
 
     pkg_dir = os.path.dirname(os.path.abspath(stream_lib_spark.__file__))
     out = os.path.join(tempfile.gettempdir(), "stream_lib_spark-pyfiles.zip")
-    if not os.path.exists(out):
+    newest_src = max(
+        os.path.getmtime(os.path.join(root, f))
+        for root, _d, files in os.walk(pkg_dir)
+        for f in files
+        if f.endswith(".py")
+    )
+    if not os.path.exists(out) or os.path.getmtime(out) < newest_src:
         tmp = out + ".tmp"
         with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
             for root, _dirs, files in os.walk(pkg_dir):

@@ -1,0 +1,136 @@
+"""Property-based monoid-law tests (hypothesis) — the algebraic core
+the distributed correctness rests on (SURVEY.md §1.3): for the exact
+monoids (HLL++, CMS, Bloom, LinearCounting, LogLog) merge must be
+commutative, associative and identity-preserving at the BYTE level for
+arbitrary inputs; quantile sketches preserve totals and rank bounds
+under arbitrary splits."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from stream_lib_spark.hashing import murmur64a_int64
+from stream_lib_spark.sketches.bloom import BloomFilter
+from stream_lib_spark.sketches.cms import CountMinSketch
+from stream_lib_spark.sketches.hll import HllPlusPlus
+from stream_lib_spark.sketches.kll import KLL
+from stream_lib_spark.sketches.linear import LinearCounting, LogLog
+from stream_lib_spark.sketches.tdigest import TDigest
+
+ints = st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=0, max_size=400)
+
+
+def _h(vals):
+    return murmur64a_int64(np.array(vals, dtype=np.int64)) if vals else np.empty(0, dtype=np.int64)
+
+
+_EXACT_MONOIDS = {
+    "hll": lambda: HllPlusPlus.new(p=8, sp=12),
+    "hll_dense": lambda: HllPlusPlus(p=8, sp=0),
+    "cms": lambda: CountMinSketch(depth=4, width=128),
+    "bloom": lambda: BloomFilter(m_bits=512, k=4),
+    "lc": lambda: LinearCounting(1024),
+    "loglog": lambda: LogLog(6),
+}
+
+
+def _update(sk, hashes):
+    if isinstance(sk, BloomFilter):
+        if len(hashes):
+            sk.add_hashed(hashes)
+    elif len(hashes):
+        sk.update_hashed(hashes)
+    return sk
+
+
+@settings(max_examples=40, deadline=None)
+@given(a=ints, b=ints, c=ints, kind=st.sampled_from(sorted(_EXACT_MONOIDS)))
+def test_merge_commutative_associative_bytes(a, b, c, kind):
+    new = _EXACT_MONOIDS[kind]
+    ska, skb, skc = (_update(new(), _h(x)) for x in (a, b, c))
+    ab_c = _update(new(), _h(a)).merge(skb).merge(skc).to_bytes()
+    # (a·b)·c == a·(b·c) == c·b·a — and equals the single-pass sketch
+    bc = _update(new(), _h(b)).merge(_update(new(), _h(c)))
+    a_bc = _update(new(), _h(a)).merge(bc).to_bytes()
+    cba = _update(new(), _h(c)).merge(_update(new(), _h(b))).merge(_update(new(), _h(a))).to_bytes()
+    single = _update(new(), _h(a + b + c)).to_bytes()
+    assert ab_c == a_bc == cba == single
+
+
+@settings(max_examples=40, deadline=None)
+@given(a=ints, kind=st.sampled_from(sorted(_EXACT_MONOIDS)))
+def test_identity_and_idempotent_self_merge(a, kind):
+    new = _EXACT_MONOIDS[kind]
+    sk = _update(new(), _h(a))
+    blob = sk.to_bytes()
+    # merging the empty sketch is the identity
+    assert _update(new(), _h(a)).merge(new()).to_bytes() == blob
+    # self-merge is idempotent for max/or monoids (not CMS: + doubles).
+    # Bloom's `count` bookkeeping field legitimately adds; its monoid
+    # value (the bitset) must be idempotent.
+    if kind not in ("cms",):
+        self_merged = _update(new(), _h(a)).merge(_update(new(), _h(a)))
+        if kind == "bloom":
+            assert self_merged.bits.tobytes() == _update(new(), _h(a)).bits.tobytes()
+        else:
+            assert self_merged.to_bytes() == blob
+
+
+@settings(max_examples=25, deadline=None)
+@given(vals=st.lists(st.floats(min_value=-1e9, max_value=1e9, allow_nan=False), min_size=1, max_size=500),
+       parts=st.integers(min_value=1, max_value=7))
+def test_tdigest_split_total_and_median(vals, parts):
+    arr = np.array(vals)
+    merged = TDigest(compression=50.0)
+    for i in range(parts):
+        merged.merge(TDigest.from_values(arr[i::parts], 50.0))
+    merged.compress()
+    assert merged.total == len(arr)
+    med = merged.quantile(0.5)
+    assert np.min(arr) <= med <= np.max(arr)
+    # rank of median within bound (generous for tiny n)
+    rank = np.searchsorted(np.sort(arr), med, side="right") / len(arr)
+    assert abs(rank - 0.5) <= max(0.05, 2.0 / len(arr))
+
+
+@settings(max_examples=25, deadline=None)
+@given(vals=st.lists(st.floats(min_value=-1e9, max_value=1e9, allow_nan=False), min_size=1, max_size=500),
+       parts=st.integers(min_value=1, max_value=7))
+def test_kll_split_total(vals, parts):
+    arr = np.array(vals)
+    merged = KLL(64)
+    for i in range(parts):
+        merged.merge(KLL(64).add_values(arr[i::parts]))
+    assert merged.n == len(arr)
+    med = merged.quantile(0.5)
+    assert np.min(arr) <= med <= np.max(arr)
+
+
+@settings(max_examples=30, deadline=None)
+@given(vals=ints)
+def test_cms_never_undercounts_property(vals):
+    if not vals:
+        return
+    h = _h(vals)
+    cms = CountMinSketch(depth=4, width=64).update_hashed(h)
+    uniq, counts = np.unique(np.array(vals, dtype=np.int64), return_counts=True)
+    est = cms.estimate_hashed(murmur64a_int64(uniq))
+    assert (est >= counts).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(vals=ints)
+def test_bloom_no_false_negatives_property(vals):
+    bf = BloomFilter(m_bits=2048, k=4)
+    h = _h(vals)
+    if len(h):
+        bf.add_hashed(h)
+        assert bf.contains_hashed(h).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(vals=st.lists(st.floats(allow_nan=False, min_value=-1e12, max_value=1e12), max_size=300))
+def test_roundtrip_property(vals):
+    arr = np.array(vals) if vals else np.empty(0)
+    for sk in (TDigest.from_values(arr, 50.0), KLL(32).add_values(arr)):
+        rt = type(sk).from_bytes(sk.to_bytes())
+        assert rt.to_bytes() == sk.to_bytes()
