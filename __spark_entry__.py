@@ -363,6 +363,14 @@ def q_simhash_near_dups(spark, sf_dir):
     return simhash_near_dups(_t(spark, sf_dir, "documents"), hamming_max=6)
 
 
+def q_embedding_near_dups(spark, sf_dir):
+    _ship(spark)
+    from stream_lib_spark.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, dim=64, threshold=0.7)
+
+
 def q_lsh_ann_topk(spark, sf_dir):
     _ship(spark)
     from stream_lib_spark.similarity import lsh_bucketed_topk
@@ -421,6 +429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "simhash_near_dups": q_simhash_near_dups,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "embedding_near_dups": q_embedding_near_dups,
         "transcript_tool_topk": q_transcript_tool_topk,
         "transcript_latency_quantiles": q_transcript_latency_quantiles,
         "image_features": q_image_features,

@@ -153,3 +153,37 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 
         .select("query_id", "rank", "neighbor_id", F.round("cosine", 4).alias("cosine"))
         .orderBy("query_id", "rank")
     )
+
+
+def embedding_near_dup_pairs(corpus: DataFrame, dim: int, threshold: float = 0.9,
+                             n_planes: int = 8, n_bands: int = 12, seed: int = 11,
+                             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: multi-band hyperplane LSH
+    buckets candidates (high threshold → high per-plane agreement →
+    high recall with few probes), exact cosine verifies.  The dedup
+    modality for embedding-indexed corpora: candidates come from an
+    equi-join on (band, signature), never a cross product."""
+    sigs = hyperplane_signature(corpus, dim, n_planes, seed, vec_col, n_bands)
+    banded = sigs.select(
+        id_col, F.col(vec_col).alias("vec"),
+        F.posexplode("lsh_sigs").alias("band", "sig"),
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("vec").alias("va"), "band", "sig")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("vec").alias("vb"), "band", "sig")
+    cand = (
+        a.join(b, ["band", "sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    @F.pandas_udf(T.DoubleType())
+    def cos(x: pd.Series, y: pd.Series) -> pd.Series:
+        mx, my = _normalize(_as_matrix(x)), _normalize(_as_matrix(y))
+        return pd.Series((mx * my).sum(axis=1))
+
+    return (
+        cand.withColumn("cosine", cos("va", "vb"))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )

@@ -87,9 +87,14 @@ def test_tdigest_split_total_and_median(vals, parts):
     assert merged.total == len(arr)
     med = merged.quantile(0.5)
     assert np.min(arr) <= med <= np.max(arr)
-    # rank of median within bound (generous for tiny n)
-    rank = np.searchsorted(np.sort(arr), med, side="right") / len(arr)
-    assert abs(rank - 0.5) <= max(0.05, 2.0 / len(arr))
+    # rank of median within bound (generous for tiny n); values equal to
+    # the estimate span [lo, hi] of achievable ranks
+    sarr = np.sort(arr)
+    eps = abs(med) * 1e-9 + 1e-12
+    lo = np.searchsorted(sarr, med - eps, side="left") / len(arr)
+    hi = np.searchsorted(sarr, med + eps, side="right") / len(arr)
+    err = 0.0 if lo <= 0.5 <= hi else min(abs(lo - 0.5), abs(hi - 0.5))
+    assert err <= max(0.05, 2.0 / len(arr))
 
 
 @settings(max_examples=25, deadline=None)

@@ -95,3 +95,20 @@ def test_turn_latencies_positive(spark):
     lat = turn_latencies(t)
     assert lat.where(F.col("latency_s") <= 0).count() == 0
     assert lat.count() == t.count() - 50  # one lost row per conversation (lag)
+
+
+def test_embedding_near_dup_pairs_finds_planted(spark, emb):
+    import numpy as np
+
+    from stream_lib_spark.similarity import embedding_near_dup_pairs
+
+    pdf = emb.limit(4).toPandas()
+    rows = []
+    for i, r in pdf.iterrows():
+        v = np.array(r["embedding"], dtype=float)
+        rows.append((int(1000 + i), v.tolist()))
+        noise = np.random.RandomState(i).normal(0, 0.01 * np.abs(v).mean(), len(v))
+        rows.append((int(2000 + i), (v + noise).tolist()))
+    planted = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    found = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(planted, dim=64, threshold=0.95).collect()}
+    assert all((1000 + i, 2000 + i) in found for i in range(4))
