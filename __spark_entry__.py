@@ -290,6 +290,19 @@ def q_fingerprint_dup_groups(spark, sf_dir):
     )
 
 
+def q_bpe_token_stats(spark, sf_dir):
+    from stream_lib_spark.textops import bpe_token_stats
+
+    return bpe_token_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_winnowing_pairs(spark, sf_dir):
+    _ship(spark)
+    from stream_lib_spark.textops import winnowing_similar_pairs
+
+    return winnowing_similar_pairs(_t(spark, sf_dir, "documents"), min_shared=40)
+
+
 def q_ngram_jaccard_dups(spark, sf_dir):
     from stream_lib_spark.textops import ngram_jaccard_pairs
 
@@ -425,6 +438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "fingerprint_dup_groups": q_fingerprint_dup_groups,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
+        "bpe_token_stats": q_bpe_token_stats,
+        "winnowing_pairs": q_winnowing_pairs,
         "ann_topk": q_ann_topk,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "simhash_near_dups": q_simhash_near_dups,
@@ -539,6 +554,12 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS n_distinct, "
             "COUNT(*) - COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS n_dups "
             "FROM documents GROUP BY source ORDER BY source"
+        ),
+        "bpe_token_stats": (
+            "SELECT lang, COUNT(*) AS n_docs, "
+            "CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))) AS BIGINT) AS total_bpe_tokens, "
+            "CAST(MAX(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))) AS BIGINT) AS max_bpe_tokens "
+            "FROM documents GROUP BY lang ORDER BY lang"
         ),
         "token_stats": (
             "SELECT lang, COUNT(*) AS n_docs, "

@@ -52,6 +52,7 @@ from .sketches.base import (
 )
 from .sketches.bloom import BloomFilter
 from .sketches.cms import CountMinSketch
+from .sketches.countthenestimate import KIND_CTE, CountThenEstimate
 from .sketches.hll import HllPlusPlus
 from .sketches.kll import KLL
 from .sketches.linear import LinearCounting, LogLog
@@ -69,6 +70,7 @@ _KIND_TO_CLS = {
     KIND_SPACESAVING: SpaceSaving,
     KIND_LINEARCOUNTING: LinearCounting,
     KIND_LOGLOG: LogLog,
+    KIND_CTE: CountThenEstimate,
 }
 
 
@@ -94,6 +96,7 @@ class SketchSpec:
         "spacesaving": (lambda p: SpaceSaving(**p), "item"),
         "linearcounting": (lambda p: LinearCounting.for_cardinality(**p) if "max_n" in p else LinearCounting(**p), "hash"),
         "loglog": (lambda p: LogLog(**p), "hash"),
+        "countthenestimate": (lambda p: CountThenEstimate(**p), "hash"),
     }
 
     def __init__(self, kind: str, **params):

@@ -1,6 +1,7 @@
 from .base import SketchMergeError
 from .bloom import BloomFilter
 from .cms import CountMinSketch
+from .countthenestimate import CountThenEstimate
 from .hll import HllPlusPlus
 from .kll import KLL
 from .linear import LinearCounting, LogLog
@@ -10,6 +11,7 @@ from .tdigest import TDigest
 __all__ = [
     "BloomFilter",
     "CountMinSketch",
+    "CountThenEstimate",
     "HllPlusPlus",
     "KLL",
     "LinearCounting",

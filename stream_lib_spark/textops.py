@@ -315,3 +315,94 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
     )
+
+
+# ------------------------------------------------------------- tokenization
+
+# BPE-ish pre-tokenizer pattern (GPT-2-style word/number/punct splits,
+# restricted to ASCII classes so Java-regex (Spark) and RE2 (DuckDB)
+# agree byte-for-byte — the oracle runs the same pattern).
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_ish_token_count(col="text"):
+    """Token count under the BPE-ish pre-tokenizer (JVM-side regex)."""
+    return F.size(F.regexp_extract_all(F.col(col), F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+def bpe_token_stats(docs: DataFrame) -> DataFrame:
+    return (
+        docs.withColumn("n_bpe", bpe_ish_token_count())
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+            F.max("n_bpe").cast("long").alias("max_bpe_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------- winnowing
+
+def winnowing_fingerprints(docs: DataFrame, k: int = 5, window: int = 4,
+                           id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD'03): rolling hash over character k-grams, keep the minimum
+    hash of every sliding window → a compact, position-robust
+    fingerprint set.  Vectorized: one murmur pass over all k-grams of a
+    doc (stride-tricks windowing), sliding-window minimum via a
+    (n_windows, window) strided min — no per-gram Python.
+
+    Returns (id, fingerprint long) exploded rows — the join key for
+    plagiarism/near-dup detection at corpus scale."""
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("fingerprint", T.LongType()),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            out_ids, out_fps = [], []
+            for did, t in zip(pdf[id_col].to_numpy(), pdf[text_col].to_numpy()):
+                b = np.frombuffer(("" if t is None else str(t)).lower().encode("utf-8"), dtype=np.uint8)
+                if len(b) < k:
+                    continue
+                grams = sliding_window_view(b, k)  # (n-k+1, k)
+                h = _hash_kgrams(grams)
+                if len(h) < window:
+                    mins = np.array([h.min()])
+                else:
+                    mins = np.unique(sliding_window_view(h, window).min(axis=1))
+                out_ids.extend([did] * len(mins))
+                out_fps.extend(mins.view(np.int64).tolist())
+            yield pd.DataFrame({id_col: out_ids, "fingerprint": out_fps})
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema=schema)
+
+
+def _hash_kgrams(grams: np.ndarray) -> np.ndarray:
+    """murmur64 of fixed-width k-gram byte rows, fully vectorized."""
+    from .hashing import _murmur64a_fixed
+
+    return _murmur64a_fixed(np.ascontiguousarray(grams), grams.shape[1], np.uint64(0xE17A1465))
+
+
+def winnowing_similar_pairs(docs: DataFrame, k: int = 5, window: int = 4,
+                            min_shared: int = 10,
+                            id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Doc pairs sharing >= min_shared winnowing fingerprints (equi-join
+    on fingerprint → co-group count; no cross product)."""
+    fp = winnowing_fingerprints(docs, k, window, id_col, text_col)
+    a = fp.withColumnRenamed(id_col, "id_a")
+    b = fp.withColumnRenamed(id_col, "id_b")
+    return (
+        a.join(b, "fingerprint")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared_fingerprints"))
+        .where(F.col("shared_fingerprints") >= min_shared)
+        .orderBy("id_a", "id_b")
+    )

@@ -141,3 +141,31 @@ def test_classic_estimator_bounds():
     sk = HllPlusPlus(p=12, sp=0, estimator="classic").update_hashed(_hashes(n))
     sigma = n * 1.04 / math.sqrt(1 << 12)
     assert abs(sk.cardinality() - n) <= 3 * sigma
+
+
+def test_count_then_estimate():
+    # CountThenEstimate.java:43-317 — exact until tipping point, then HLL++
+    from stream_lib_spark.sketches.countthenestimate import CountThenEstimate
+
+    sk = CountThenEstimate(tipping_point=100, p=12)
+    sk.update_hashed(_hashes(50))
+    assert not sk.tipped and sk.cardinality() == 50.0
+    # duplicates don't advance toward tipping
+    sk.update_hashed(_hashes(50))
+    assert not sk.tipped and sk.cardinality() == 50.0
+    sk.update_hashed(_hashes(5000))
+    assert sk.tipped
+    sigma = 5000 * 1.04 / math.sqrt(1 << 12)
+    assert abs(sk.cardinality() - 5000) <= 3 * sigma
+    # merges: exact×exact stays exact & byte-associative; exact×tipped folds
+    a = CountThenEstimate(tipping_point=100, p=12).update_hashed(_hashes(30))
+    b = CountThenEstimate(tipping_point=100, p=12).update_hashed(_hashes(30, start=10))
+    ab = CountThenEstimate.from_bytes(a.to_bytes()).merge(b)
+    ba = CountThenEstimate.from_bytes(b.to_bytes()).merge(a)
+    assert ab.to_bytes() == ba.to_bytes() and ab.cardinality() == 40.0  # |0..29 ∪ 10..39|
+    big = CountThenEstimate(tipping_point=100, p=12).update_hashed(_hashes(2000))
+    merged = CountThenEstimate.from_bytes(a.to_bytes()).merge(big)
+    assert merged.tipped
+    assert abs(merged.cardinality() - 2000) <= 3 * 2000 * 1.04 / math.sqrt(1 << 12)
+    rt = CountThenEstimate.from_bytes(merged.to_bytes())
+    assert rt.to_bytes() == merged.to_bytes()
