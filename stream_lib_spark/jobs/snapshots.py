@@ -1,0 +1,71 @@
+"""Snapshot-pinned table reads — the thin table-provider interface that
+stands in for an Iceberg catalog in the sandbox (SURVEY.md §7: "Parquet
+dirs + a manifest JSON emulate snapshots locally; Iceberg catalog is a
+config swap at deploy time").
+
+An Iceberg snapshot is an immutable file manifest; resumable jobs must
+re-read EXACTLY the files of the snapshot they started on, even if the
+table has since gained files.  ``snapshot()`` captures the manifest
+(file list + sizes + mtimes → content-addressed snapshot id);
+``read_snapshot()`` reads precisely those files.  CheckpointedSketchJob
+keyed by this snapshot id is therefore deterministic end-to-end: same
+snapshot → same lineage buckets → byte-identical state.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _manifest_dir(table_path: str) -> str:
+    return os.path.join(table_path, "_snapshots")
+
+
+def snapshot(table_path: str) -> str:
+    """Capture the current file set of a parquet dir as an immutable
+    manifest; returns the content-addressed snapshot id (idempotent —
+    the same file set yields the same id)."""
+    files = sorted(
+        f for f in glob.glob(os.path.join(table_path, "*.parquet"))
+        if os.path.isfile(f)
+    ) or sorted(glob.glob(os.path.join(table_path, "part-*")))
+    entries = [
+        {"path": f, "bytes": os.path.getsize(f), "mtime_ns": os.stat(f).st_mtime_ns}
+        for f in files
+    ]
+    digest = hashlib.sha256(
+        json.dumps([(e["path"], e["bytes"]) for e in entries]).encode()
+    ).hexdigest()[:16]
+    snap_id = f"snap-{digest}"
+    mdir = _manifest_dir(table_path)
+    os.makedirs(mdir, exist_ok=True)
+    manifest = os.path.join(mdir, f"{snap_id}.json")
+    if not os.path.exists(manifest):
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"snapshot_id": snap_id, "table": table_path, "files": entries}, fh)
+        os.replace(tmp, manifest)
+    return snap_id
+
+
+def read_snapshot(spark: SparkSession, table_path: str, snapshot_id: str) -> DataFrame:
+    """Read exactly the snapshot's file set (late-added files are not
+    visible — Iceberg snapshot-isolation semantics)."""
+    with open(os.path.join(_manifest_dir(table_path), f"{snapshot_id}.json")) as fh:
+        manifest = json.load(fh)
+    files = [e["path"] for e in manifest["files"]]
+    if not files:
+        raise ValueError(f"snapshot {snapshot_id} is empty")
+    return spark.read.parquet(*files)
+
+
+def list_snapshots(table_path: str) -> list[str]:
+    mdir = _manifest_dir(table_path)
+    if not os.path.isdir(mdir):
+        return []
+    return sorted(os.path.splitext(f)[0] for f in os.listdir(mdir) if f.endswith(".json"))

@@ -72,3 +72,34 @@ def test_keyed_checkpoint_resume(spark, ckpt_dir, sf_dir):
     out = job.run(ev)
     got = {r["event_type"]: bytes(r["sketch"]) for r in out.collect()}
     assert got == ref
+
+
+def test_snapshot_isolation_and_resume(spark, ckpt_dir, sf_dir, tmp_path):
+    """Snapshot-pinned read + checkpointed job: files added after the
+    snapshot are invisible; resuming on the same snapshot reproduces the
+    uninterrupted state byte-for-byte even though the table grew."""
+    import shutil
+
+    from stream_lib_spark.jobs.snapshots import list_snapshots, read_snapshot, snapshot
+
+    table = str(tmp_path / "table")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.where(F.col("event_id") % 2 == 0).repartition(2).write.mode("append").parquet(table)
+    snap = snapshot(table)
+
+    # uninterrupted run over the snapshot
+    job_full = _job(spark, ckpt_dir, snap + "-full")
+    blob_full = bytes(job_full.run(read_snapshot(spark, table, snap)).collect()[0]["sketch"])
+
+    # interrupted run; table grows between the kill and the resume
+    job = _job(spark, ckpt_dir, snap)
+    job.build_partials(read_snapshot(spark, table, snap), max_buckets=6)
+    ev.where(F.col("event_id") % 2 == 1).write.mode("append").parquet(table)
+    out = job.run(read_snapshot(spark, table, snap))  # still pinned to snap
+    assert bytes(out.collect()[0]["sketch"]) == blob_full
+
+    # a new snapshot sees the grown table
+    snap2 = snapshot(table)
+    assert snap2 != snap
+    assert read_snapshot(spark, table, snap2).count() == ev.count()
+    assert set(list_snapshots(table)) == {snap, snap2}
