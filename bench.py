@@ -5,11 +5,10 @@ Prints ONE JSON line:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
    "queries": {...per-query sec...}, "sf": ..., "turns_per_sec": ...}
 
-``python bench.py --scaling`` additionally runs the transcript sketch
-pass at two parallelism levels (local[8] vs local[32] — the sandbox
-stand-in for N vs 4N executors) and reports throughput + scaling
-efficiency (north rule: >= 0.8); results go to BENCH.md via
-tools/update_bench_md.py.
+``python bench.py --scaling`` additionally runs the N vs 4N
+executor-scaling pair (isolated processes; see BENCH.md and
+tools/bench_scaling_multiproc.py) and reports throughput at both
+levels + scaling efficiency (north rule: >= 0.8).
 """
 
 from __future__ import annotations
@@ -110,12 +109,13 @@ def bench_queries(spark) -> tuple[dict, dict]:
 
 
 def run_scaling() -> dict:
-    """Same transcript sketch job at local[8] vs local[32] on the same
-    input, each in its own process/JVM — the sandbox evidence for N→4N
-    executor scaling (see tools/bench_scaling.py)."""
-    from tools.bench_scaling import orchestrate
+    """N vs 4N executor scaling via isolated processes (primary evidence,
+    see BENCH.md): N=1 vs 4N=4 single-core Spark processes over disjoint
+    shards of the same input — within the sandbox's memory-bandwidth
+    envelope, unlike wider local[K] configs."""
+    from tools.bench_scaling_multiproc import orchestrate
 
-    return orchestrate()
+    return orchestrate(levels=(1, 4))
 
 
 def _session(cpus: int):
