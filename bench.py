@@ -60,6 +60,9 @@ def bench_queries(spark) -> tuple[dict, dict]:
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     tr = materialize_transcripts(spark)
     n_turns = tr.count()  # warm the scan
+    # warm the Python workers / Arrow runners once (a cluster amortizes
+    # this across the app; each timed query shouldn't re-pay it)
+    collect_sketch(sketch_agg(ev.limit(1000), [], "user_id", SketchSpec("hll", p=8)))
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
