@@ -51,6 +51,7 @@ from .sketches.base import (
     unpack_header,
 )
 from .sketches.bloom import BloomFilter
+from .sketches.bottomk import KIND_BOTTOMK, BottomKSample
 from .sketches.cms import CountMinSketch
 from .sketches.countthenestimate import KIND_CTE, CountThenEstimate
 from .sketches.hll import HllPlusPlus
@@ -71,6 +72,7 @@ _KIND_TO_CLS = {
     KIND_LINEARCOUNTING: LinearCounting,
     KIND_LOGLOG: LogLog,
     KIND_CTE: CountThenEstimate,
+    KIND_BOTTOMK: BottomKSample,
 }
 
 
@@ -97,6 +99,7 @@ class SketchSpec:
         "linearcounting": (lambda p: LinearCounting.for_cardinality(**p) if "max_n" in p else LinearCounting(**p), "hash"),
         "loglog": (lambda p: LogLog(**p), "hash"),
         "countthenestimate": (lambda p: CountThenEstimate(**p), "hash"),
+        "bottomk": (lambda p: BottomKSample(**p), "item"),
     }
 
     def __init__(self, kind: str, **params):

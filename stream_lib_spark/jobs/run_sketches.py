@@ -50,7 +50,9 @@ def parse_op(op: str):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--input", required=True, help="parquet path (Iceberg table at deploy)")
+    ap.add_argument("--input", required=True, help="table path (Iceberg table at deploy)")
+    ap.add_argument("--format", default="parquet", choices=["parquet", "csv", "json"],
+                    help="source format (csv reads with header+inferSchema)")
     ap.add_argument("--ops", nargs="+", required=True, help="kind:column[:k=v,...]")
     ap.add_argument("--keys", nargs="*", default=[], help="grouping keys")
     ap.add_argument("--output", required=True, help="output parquet for sketch rows")
@@ -65,7 +67,12 @@ def main(argv=None):
     from .checkpoint import CheckpointedSketchJob
 
     spark = get_spark("run_sketches", cpus=args.cpus)
-    df = spark.read.parquet(args.input)
+    if args.format == "csv":
+        df = spark.read.option("header", True).option("inferSchema", True).csv(args.input)
+    elif args.format == "json":
+        df = spark.read.json(args.input)
+    else:
+        df = spark.read.parquet(args.input)
     t0 = time.time()
     n_rows = df.count()
 

@@ -1,5 +1,6 @@
 from .base import SketchMergeError
 from .bloom import BloomFilter
+from .bottomk import BottomKSample
 from .cms import CountMinSketch
 from .countthenestimate import CountThenEstimate
 from .hll import HllPlusPlus
@@ -10,6 +11,7 @@ from .tdigest import TDigest
 
 __all__ = [
     "BloomFilter",
+    "BottomKSample",
     "CountMinSketch",
     "CountThenEstimate",
     "HllPlusPlus",

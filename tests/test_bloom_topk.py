@@ -107,3 +107,40 @@ def test_spacesaving_roundtrip():
     rt = SpaceSaving.from_bytes(ss.to_bytes())
     assert rt.to_bytes() == ss.to_bytes()
     assert rt.top_k(2) == ss.top_k(2)
+
+
+def test_bottomk_sample_monoid_and_topk():
+    # StochasticTopper rebuild (stream/StochasticTopper.java:31-78) as a
+    # deterministic mergeable bottom-k sample
+    from stream_lib_spark.sketches.bottomk import BottomKSample
+
+    rng = np.random.RandomState(0)
+    vals = rng.geometric(0.3, 100_000).astype(str)
+
+    def build(v):
+        sk = BottomKSample(256)
+        u, c = np.unique(v, return_counts=True)
+        return sk.update_batch(u.astype(object), c)
+
+    single = build(vals)
+    merged = build(vals[0::4])
+    for i in (1, 2, 3):
+        merged.merge(BottomKSample.from_bytes(build(vals[i::4]).to_bytes()))
+    assert merged.to_bytes() == single.to_bytes()  # byte-associative
+    u, c = np.unique(vals, return_counts=True)
+    true_top = [str(x) for x in u[np.argsort(-c)][:5]]
+    assert [t[0] for t in merged.top_k(5)] == true_top
+    assert merged.n == len(vals)
+    # low-card sample is exhaustive → exact distinct
+    assert merged.distinct_estimate() == len(u)
+
+
+def test_bottomk_distinct_estimator_high_card():
+    from stream_lib_spark.sketches.bottomk import BottomKSample
+
+    vals = np.arange(50_000).astype(str)
+    sk = BottomKSample(512)
+    u, c = np.unique(vals, return_counts=True)
+    sk.update_batch(u.astype(object), c)
+    est = sk.distinct_estimate()
+    assert abs(est - 50_000) / 50_000 < 0.15  # ~1/sqrt(k) rse
