@@ -341,21 +341,34 @@ def multi_sketch_agg(df: DataFrame, sketches: dict[str, tuple[str, SketchSpec]],
     row per key group with one BinaryType column per sketch name.
     """
     keys = keys or []
+    python_hash = hash_mode != "xxhash64"
     proj = [F.col(k) for k in keys]
     modes: dict[str, str] = {}
     for name, (col, spec) in sketches.items():
         mode = spec.input_mode
         modes[name] = mode
         c = F.col(col)
-        if mode == "hash":
-            expr = F.when(c.isNotNull(), F.xxhash64(c)) if hash_mode == "xxhash64" else c.cast("string")
+        if mode == "hash" and not python_hash:
+            if keys:
+                # Keyed path: NEVER ship a nullable long — a single null
+                # in a batch turns the pandas column float64 and rounds
+                # hashes to 53 bits (silent HLL inflation / CMS scatter /
+                # Bloom false negatives).  Ship a non-null hash plus a
+                # separate validity mask instead.
+                proj.append(F.xxhash64(c).alias(f"__in_{name}"))
+                proj.append(c.isNotNull().alias(f"__nn_{name}"))
+                continue
+            # Global path reads Arrow buffers directly (nulls dropped
+            # before numpy conversion), so the nullable column is safe.
+            expr = F.when(c.isNotNull(), F.xxhash64(c))
+        elif mode == "hash":
+            expr = c.cast("string")
         elif mode == "value":
             expr = c.cast("double")
         else:
             expr = c.cast("string")
         proj.append(expr.alias(f"__in_{name}"))
     prepared = df.select(*proj)
-    python_hash = hash_mode != "xxhash64"
 
     key_fields = [prepared.schema[k] for k in keys]
     state_fields = [T.StructField(n, T.BinaryType()) for n in sketches]
@@ -377,16 +390,24 @@ def multi_sketch_agg(df: DataFrame, sketches: dict[str, tuple[str, SketchSpec]],
                 group = states[key] = {n: specs[n].new() for n in names}
             for n in names:
                 col_in = sub[f"__in_{n}"]
+                if modes[n] == "hash" and not python_hash:
+                    # non-null int64 column + separate validity mask —
+                    # the dtype stays int64 even when nulls were present
+                    valid = sub[f"__nn_{n}"].to_numpy()
+                    arr = col_in.to_numpy()
+                    if not valid.all():
+                        arr = arr[valid.astype(bool)]
+                    if len(arr) == 0:
+                        continue
+                    specs[n].update(group[n], arr.astype(np.int64, copy=False))
+                    continue
                 mask = col_in.notna()
                 arr = col_in[mask].to_numpy() if not mask.all() else col_in.to_numpy()
                 if len(arr) == 0:
                     continue
                 spec = specs[n]
                 if modes[n] == "hash":
-                    if python_hash:
-                        arr = murmur64a_array(arr.astype(object)).view(np.int64)
-                    else:
-                        arr = arr.astype(np.int64, copy=False)
+                    arr = murmur64a_array(arr.astype(object)).view(np.int64)
                     spec.update(group[n], arr)
                 elif modes[n] == "value":
                     spec.update(group[n], arr.astype(np.float64, copy=False))

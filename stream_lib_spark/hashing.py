@@ -131,9 +131,14 @@ def _murmur64a_fixed(buf: np.ndarray, length: int, seed: int | np.uint64) -> np.
 
 
 def murmur64a_int64(values: np.ndarray, seed: int | np.uint64 = MURMUR64_DEFAULT_SEED) -> np.ndarray:
-    """MurmurHash64A of int64 values serialized as 8 little-endian bytes
-    (the reference hashes ``Long`` via its byte image, ``MurmurHash.java:135-146``).
+    """MurmurHash64A of int64 values serialized as 8 little-endian bytes.
     Fully vectorized single-block path.
+
+    NOTE: this is a fast numeric hash, NOT reference parity for numeric
+    inputs — the reference's ``hash64(Object)`` routes ``Long`` through
+    ``toString()`` (``MurmurHash.java:135-146`` falls through to the
+    string overload).  The murmur parity mode in ``agg.py`` is
+    unaffected: it casts items to string before hashing.
     """
     with np.errstate(over="ignore"):
         k = values.astype(np.int64).view(U64) * _M

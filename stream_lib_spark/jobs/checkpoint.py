@@ -69,11 +69,23 @@ class CheckpointedSketchJob:
         )
 
     def _done_buckets(self) -> set[int]:
+        """Finished bucket ids from the checkpoint table.  Only a
+        missing checkpoint path means "nothing done"; any OTHER read
+        failure must propagate — treating a transient error as an empty
+        set would recompute and append every bucket as a duplicate,
+        double-counting sum-monoid state on final_merge."""
+        from pyspark.errors import AnalysisException
+
         try:
-            rows = self.spark.read.parquet(self.partials_path).select("bucket").distinct().collect()
-            return {r["bucket"] for r in rows}
-        except Exception:
-            return set()
+            partials = self.spark.read.parquet(self.partials_path)
+        except AnalysisException as e:
+            get_cls = getattr(e, "getCondition", None) or getattr(e, "getErrorClass", None)
+            cls = get_cls() if callable(get_cls) else None
+            if (cls and "PATH_NOT_FOUND" in cls) or "Path does not exist" in str(e):
+                return set()
+            raise
+        rows = partials.select("bucket").distinct().collect()
+        return {r["bucket"] for r in rows}
 
     # ------------------------------------------------------------ phase A
 

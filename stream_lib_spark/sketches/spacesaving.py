@@ -7,8 +7,19 @@ It has **no merge** (single-stream only).  The rebuild adds the
 mergeable-summaries semantics of Agarwal et al. ("Mergeable Summaries",
 PODS'12): merge = sum counts/errors of common items; items present in
 only one summary inherit the other's min-count as additional error;
-truncate back to capacity, folding evicted counts into the surviving
-min as error.
+then truncate back to capacity by (count desc, key asc), DROPPING the
+evicted tail entries outright.
+
+Invariants the truncation preserves (the actual contract, validated in
+tests/test_bloom_topk.py): for every surviving item,
+``count(x) >= true_count(x)`` and ``count(x) - error(x) <=
+true_count(x)`` — dropping other entries never changes a survivor's
+bookkeeping.  What truncation weakens is the floor used by FUTURE
+inserts/merges: a later arrival of a dropped item re-enters at the
+current min-count, exactly like the classic eviction inheritance.  The
+heavy-hitter guarantee (any item with true frequency > N/capacity is
+present) holds because such an item's count always exceeds the
+capacity-th largest count at every truncation point.
 
 Batch update is vectorized: a pandas/numpy ``value_counts`` of the batch
 is an *exact* frequency table, folded into the summary in one pass —

@@ -112,12 +112,16 @@ def keyed_streaming_sketch(stream_df: DataFrame, keys: list[str], col: str,
     mode = spec.input_mode
     c = F.col(col)
     if mode == "hash":
-        in_col = F.when(c.isNotNull(), F.xxhash64(c)).alias("__in")
+        in_col = F.xxhash64(c).alias("__in")
     elif mode == "value":
         in_col = c.cast("double").alias("__in")
     else:
         in_col = c.cast("string").alias("__in")
-    prepared = stream_df.select(*[F.col(k) for k in keys], in_col)
+    # offer(null) is a no-op — and filtering BEFORE the stateful operator
+    # keeps the hash column non-null so its pandas dtype stays int64.
+    # (A nullable long arrives as float64 and rounds hashes to 53 bits,
+    # silently corrupting per-key state across micro-batches.)
+    prepared = stream_df.where(c.isNotNull()).select(*[F.col(k) for k in keys], in_col)
 
     out_schema = ", ".join(f"{k} string" for k in keys) + ", sketch binary, estimate double"
     state_schema = "blob binary"
@@ -130,7 +134,7 @@ def keyed_streaming_sketch(stream_df: DataFrame, keys: list[str], col: str,
         else:
             sk = spec.new()
         for pdf in pdfs:
-            arr = pdf["__in"].dropna()
+            arr = pdf["__in"].dropna()  # defensive; input is pre-filtered
             if len(arr) == 0:
                 continue
             if mode == "hash":
