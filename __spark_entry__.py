@@ -411,6 +411,10 @@ def q_transcript_latency_quantiles(spark, sf_dir):
 
 
 def q_image_features(spark, sf_dir):
+    """Multimodal decode plumbing gate: the deterministic fake table is
+    SQL-derivable (kind = id%3, payload = sha256 hex bytes), and the
+    feature math uses integer sums / power-of-two divisors, so the
+    DuckDB oracle reproduces every double bit-for-bit."""
     _ship(spark)
     from stream_lib_spark.multimodal import extract_image_features, synthesize_media
 
@@ -596,6 +600,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id_a, id_b, ROUND(CAST(ni AS DOUBLE) / (ca.g + cb.g - ni), 4) AS jaccard "
             "FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b "
             "WHERE CAST(ni AS DOUBLE) / (ca.g + cb.g - ni) >= 0.8 ORDER BY id_a, id_b"
+        ),
+        "image_features": (
+            "WITH hx AS ("
+            "  SELECT i AS media_id, sha256('payload-' || CAST(i AS VARCHAR)) AS h "
+            "  FROM generate_series(0, 127) t(i) WHERE i % 3 = 0"
+            "), b AS ("
+            "  SELECT media_id, ascii(substring(h, p, 1)) AS v "
+            "  FROM hx, generate_series(1, 64) g(p)"
+            "), a AS ("
+            "  SELECT media_id, SUM(v) AS s, SUM(v*v) AS ss, MIN(v) AS mn, MAX(v) AS mx "
+            "  FROM b GROUP BY media_id"
+            ") SELECT media_id, "
+            "CAST(s AS DOUBLE)/64.0 AS f0, CAST(s AS DOUBLE)/64.0 AS f1, "
+            "CAST(s AS DOUBLE)/64.0 AS f2, "
+            "CAST(64*ss - s*s AS DOUBLE)/4096.0 AS f3, "
+            "CAST(64*ss - s*s AS DOUBLE)/4096.0 AS f4, "
+            "CAST(64*ss - s*s AS DOUBLE)/4096.0 AS f5, "
+            "CAST(mn AS DOUBLE) AS f6, CAST(mx AS DOUBLE) AS f7 "
+            "FROM a ORDER BY media_id"
         ),
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5), "

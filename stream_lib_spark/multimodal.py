@@ -33,11 +33,14 @@ class DecoderUnavailable(NotImplementedError):
 
 
 def synthesize_media(spark, n: int = 256, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table (payload = splitmix64 byte soup)."""
+    """Deterministic fake media table.  ``kind`` cycles by
+    ``media_id % 3`` and ``payload`` is the UTF-8 bytes of
+    ``sha256('payload-<id>')`` hex — both SQL-expressible, so the gate
+    oracle can re-derive the exact table in DuckDB."""
     df = spark.range(n).select(
         F.col("id").alias("media_id"),
         F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-                     (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(3)) + 1).cast("int")).alias("kind"),
+                     (F.col("id") % 3 + 1).cast("int")).alias("kind"),
         F.sha2(F.concat(F.lit("payload-"), F.col("id").cast("string")), 256).cast("binary").alias("payload"),
         (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1920)) + 16).cast("int").alias("width"),
         (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1080)) + 16).cast("int").alias("height"),
@@ -59,29 +62,42 @@ def _decode_image_stub(payload: bytes, width: int, height: int,
     return np.tile(buf, reps)[: 8 * 8 * 3].reshape(8, 8, 3)
 
 
+FEATURE_COLS = [f"f{i}" for i in range(8)]
+
+
 def extract_image_features(media: DataFrame, deterministic_fake: bool = True) -> DataFrame:
-    """Decode → 8-dim feature vector, batched via mapInPandas.  The
-    real-world shape: payloads arrive as Arrow binary buffers; the
-    decode loop is per-row by necessity (codecs are), but feature math
-    is numpy-vectorized over the decoded batch."""
-    schema = T.StructType([
-        T.StructField("media_id", T.LongType()),
-        T.StructField("features", T.ArrayType(T.DoubleType())),
-    ])
+    """Decode → 8 scalar feature columns, batched via mapInPandas:
+    f0-f2 per-channel pixel means, f3-f5 per-channel population
+    variances, f6/f7 global min/max.
+
+    The real-world shape: payloads arrive as Arrow binary buffers; the
+    decode loop is per-row by necessity (codecs are).  Stats are
+    computed from integer pixel sums and divided by powers of two, so
+    every double is binary-exact — the DuckDB gate oracle reproduces
+    them bit-for-bit.  Scalar (sortable) columns, not an array: the
+    driver's canonicalizer sorts every output column."""
+    schema = T.StructType(
+        [T.StructField("media_id", T.LongType())]
+        + [T.StructField(c, T.DoubleType()) for c in FEATURE_COLS]
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            for _, row in pdf.iterrows():
-                img = _decode_image_stub(row["payload"], row["width"], row["height"],
-                                         deterministic_fake)
-                channel_means = img.mean(axis=(0, 1))
-                channel_stds = img.std(axis=(0, 1))
-                feats.append(np.concatenate([
-                    channel_means, channel_stds,
-                    [float(img.min()), float(img.max())],
-                ]).round(6).tolist())
-            yield pd.DataFrame({"media_id": pdf["media_id"].to_numpy(), "features": feats})
+            rows = []
+            for mid, payload, w, h in zip(
+                pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                img = _decode_image_stub(payload, w, h, deterministic_fake).astype(np.int64)
+                npix = img.shape[0] * img.shape[1]
+                s = img.sum(axis=(0, 1))
+                ss = (img * img).sum(axis=(0, 1))
+                means = s / float(npix)
+                variances = (npix * ss - s * s) / float(npix * npix)
+                rows.append(
+                    [int(mid)] + means.tolist() + variances.tolist()
+                    + [float(img.min()), float(img.max())]
+                )
+            yield pd.DataFrame(rows, columns=["media_id"] + FEATURE_COLS)
 
     return media.where(F.col("kind") == "image").mapInPandas(gen, schema=schema)
 
