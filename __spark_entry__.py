@@ -360,6 +360,134 @@ def q_transcript_latency(spark, sf_dir):
     return spark.createDataFrame(rows, "q double, within_bound boolean")
 
 
+def q_lc_users_global(spark, sf_dir):
+    """LinearCounting gate: exact distinct + in-bound flag (Whang
+    variance: Var(n̂) ≈ m(e^t − t − 1), t = n/m)."""
+    _ship(spark)
+    from stream_lib_spark.agg import SketchSpec, collect_sketch, sketch_agg
+
+    ev = _t(spark, sf_dir, "events")
+    sk = collect_sketch(sketch_agg(ev, [], "user_id", SketchSpec("linearcounting", max_n=200_000)))
+    exact = ev.select("user_id").distinct().count()
+    t = exact / sk.m_bits
+    sd = math.sqrt(sk.m_bits * (math.exp(t) - t - 1.0)) if t > 0 else 0.0
+    ok = abs(sk.cardinality() - exact) <= max(3.0 * sd, 2.0)
+    return spark.createDataFrame([(exact, bool(ok))], "exact_users long, lc_ok boolean")
+
+
+def q_loglog_orders_global(spark, sf_dir):
+    """LogLog (Durand–Flajolet) gate: 3σ at the published 1.30/√m RSE."""
+    _ship(spark)
+    from stream_lib_spark.agg import SketchSpec, collect_sketch, sketch_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    k = 8
+    sk = collect_sketch(sketch_agg(li, [], "l_orderkey", SketchSpec("loglog", k=k)))
+    exact = li.select("l_orderkey").distinct().count()
+    ok = abs(sk.cardinality() - exact) <= max(3.0 * 1.30 / math.sqrt(1 << k) * exact, 2.0)
+    return spark.createDataFrame([(exact, bool(ok))], "exact_orders long, loglog_ok boolean")
+
+
+def q_adaptive_users_global(spark, sf_dir):
+    """AdaptiveCounting gate: in the sparse regime (B ≥ 0.051) the
+    estimator is LC-style -m·ln(B); bound via the LC variance at m
+    buckets, else fall back to the LogLog 1.30/√m RSE."""
+    _ship(spark)
+    from stream_lib_spark.agg import SketchSpec, collect_sketch, sketch_agg
+
+    ev = _t(spark, sf_dir, "events")
+    k = 10
+    m = 1 << k
+    sk = collect_sketch(sketch_agg(ev, [], "user_id", SketchSpec("loglog", k=k, adaptive=True)))
+    exact = ev.select("user_id").distinct().count()
+    t = exact / m
+    sd = math.sqrt(m * (math.exp(t) - t - 1.0)) if t > 0 else 0.0
+    bound = max(3.0 * sd, 3.0 * 1.30 / math.sqrt(m) * exact, 2.0)
+    ok = abs(sk.cardinality() - exact) <= bound
+    return spark.createDataFrame([(exact, bool(ok))], "exact_users long, adaptive_ok boolean")
+
+
+def q_cte_users_global(spark, sf_dir):
+    """CountThenEstimate gate: exact below the tipping point, HLL++ 3σ
+    above it (tipping_point=100 forces the tipped path at sf>=0.01)."""
+    _ship(spark)
+    from stream_lib_spark.agg import SketchSpec, collect_sketch, sketch_agg
+
+    ev = _t(spark, sf_dir, "events")
+    p = 14
+    sk = collect_sketch(
+        sketch_agg(ev, [], "user_id", SketchSpec("countthenestimate", tipping_point=100, p=p))
+    )
+    exact = ev.select("user_id").distinct().count()
+    est = sk.cardinality()
+    if sk.tipped:
+        ok = abs(est - exact) <= max(3.0 * 1.04 / math.sqrt(1 << p) * exact, 2.0)
+    else:
+        ok = est == exact
+    return spark.createDataFrame([(exact, bool(ok))], "exact_users long, cte_ok boolean")
+
+
+def q_bottomk_partkey_sample(spark, sf_dir):
+    """Bottom-k sample gate: the distributed merge must produce EXACTLY
+    the k distinct items with the smallest murmur64 hashes (deterministic
+    sample identity), and the k-th-hash distinct estimator must sit
+    within 3/√k of exact."""
+    _ship(spark)
+    import numpy as np
+
+    from stream_lib_spark.agg import SketchSpec, collect_sketch, sketch_agg
+    from stream_lib_spark.hashing import murmur64a_array
+
+    li = _t(spark, sf_dir, "lineitem")
+    k = 128
+    sk = collect_sketch(sketch_agg(li, [], "l_partkey", SketchSpec("bottomk", k=k)))
+    distinct = [str(r[0]) for r in li.select("l_partkey").distinct().collect()]
+    h = murmur64a_array(np.array(distinct, dtype=object))
+    expected = {distinct[i] for i in np.argsort(h, kind="stable")[:k]}
+    sample_ok = set(sk.items) == expected
+    exact = len(distinct)
+    est_ok = abs(sk.distinct_estimate() - exact) <= max(3.0 / math.sqrt(k) * exact, 2.0)
+    return spark.createDataFrame(
+        [(exact, bool(sample_ok), bool(est_ok))],
+        "exact_distinct long, sample_ok boolean, est_ok boolean",
+    )
+
+
+def q_cms_conservative_event_freq(spark, sf_dir):
+    """Conservative-update CMS gate: never undercounts, stays within
+    eps·N, and point estimates are <= the plain-CMS estimates."""
+    _ship(spark)
+    import numpy as np
+
+    from stream_lib_spark.agg import SketchSpec, collect_sketch, sketch_agg
+
+    ev = _t(spark, sf_dir, "events")
+    eps = 1e-4
+    cons = collect_sketch(
+        sketch_agg(ev, [], "event_type", SketchSpec("cms", eps=eps, confidence=0.99, conservative=True))
+    )
+    plain = collect_sketch(
+        sketch_agg(ev, [], "event_type", SketchSpec("cms", eps=eps, confidence=0.99))
+    )
+    exact = {r[0]: r[1] for r in ev.groupBy("event_type").count().collect()}
+    n = sum(exact.values())
+    keys = sorted(exact)
+    hashed = dict(
+        spark.createDataFrame([(kk,) for kk in keys], ["k"])
+        .select("k", F.xxhash64("k").alias("h"))
+        .collect()
+    )
+    harr = np.array([hashed[kk] for kk in keys], dtype=np.int64)
+    est_c = cons.estimate_hashed(harr)
+    est_p = plain.estimate_hashed(harr)
+    rows = [
+        (kk, int(exact[kk]),
+         bool(exact[kk] <= c <= exact[kk] + max(eps * n, 1.0) and c <= p))
+        for kk, c, p in zip(keys, est_c, est_p)
+    ]
+    return spark.createDataFrame(rows, "event_type string, exact_cnt long, cons_ok boolean")
+
+
 # ------------------------------------------------------- rows-only (no SQL)
 
 def q_minhash_dedup_pairs(spark, sf_dir):
@@ -434,6 +562,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_custkey": q_bloom_custkey,
         "topk_event_types": q_topk_event_types,
         "heavy_hitters_partkey": q_heavy_hitters_partkey,
+        "lc_users_global": q_lc_users_global,
+        "loglog_orders_global": q_loglog_orders_global,
+        "adaptive_users_global": q_adaptive_users_global,
+        "cte_users_global": q_cte_users_global,
+        "bottomk_partkey_sample": q_bottomk_partkey_sample,
+        "cms_conservative_event_freq": q_cms_conservative_event_freq,
         "q1_pricing_summary": q_q1_pricing_summary,
         "sessionization": q_sessionization,
         "exact_dedup_documents": q_exact_dedup_documents,
@@ -525,6 +659,26 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bloom_custkey": (
             "SELECT CAST(0 AS BIGINT) AS false_negatives, TRUE AS fp_ok"
+        ),
+        "lc_users_global": (
+            "SELECT COUNT(DISTINCT user_id) AS exact_users, TRUE AS lc_ok FROM events"
+        ),
+        "loglog_orders_global": (
+            "SELECT COUNT(DISTINCT l_orderkey) AS exact_orders, TRUE AS loglog_ok FROM lineitem"
+        ),
+        "adaptive_users_global": (
+            "SELECT COUNT(DISTINCT user_id) AS exact_users, TRUE AS adaptive_ok FROM events"
+        ),
+        "cte_users_global": (
+            "SELECT COUNT(DISTINCT user_id) AS exact_users, TRUE AS cte_ok FROM events"
+        ),
+        "bottomk_partkey_sample": (
+            "SELECT COUNT(DISTINCT l_partkey) AS exact_distinct, "
+            "TRUE AS sample_ok, TRUE AS est_ok FROM lineitem"
+        ),
+        "cms_conservative_event_freq": (
+            "SELECT event_type, COUNT(*) AS exact_cnt, TRUE AS cons_ok "
+            "FROM events GROUP BY event_type ORDER BY event_type"
         ),
         "topk_event_types": (
             "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt FROM events "
