@@ -171,7 +171,7 @@ def embedding_near_dup_pairs(corpus: DataFrame, dim: int, threshold: float = 0.9
     a = banded.select(F.col(id_col).alias("id_a"), F.col("vec").alias("va"), "band", "sig")
     b = banded.select(F.col(id_col).alias("id_b"), F.col("vec").alias("vb"), "band", "sig")
     cand = (
-        a.join(b, ["band", "sig"])
+        a.join(b.hint("shuffle_hash"), ["band", "sig"])
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )

@@ -18,7 +18,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from .hashing import murmur64a_array, splitmix64
+from .hashing import splitmix64
 
 # --------------------------------------------------------------------- exact
 
@@ -124,25 +124,108 @@ def langid_heuristic(col="text"):
 
 # --------------------------------------------------------------- near-dup
 
-def _shingle_hashes(texts: np.ndarray, n: int = 5) -> list[np.ndarray]:
-    """Per doc: uint64 hashes of word n-gram shingles (vectorized
-    murmur64 over the concatenated shingle strings)."""
-    all_shingles: list[str] = []
-    offsets = [0]
-    for t in texts:
-        words = ("" if t is None else str(t)).lower().split()
-        sh = [" ".join(words[i : i + n]) for i in range(max(len(words) - n + 1, 0))] or [" ".join(words)]
-        all_shingles.extend(sh)
-        offsets.append(len(all_shingles))
-    hashes = murmur64a_array(np.array(all_shingles, dtype=object))
-    return [np.unique(hashes[offsets[i] : offsets[i + 1]]) for i in range(len(texts))]
+def word_hash_array(text_col: str = "text", word_hash=None):
+    """JVM-side tokenize + hash: array<long> of per-word 64-bit hashes
+    (whole-stage codegen; the Python kernels below never see strings).
+    ``word_hash``: Column→Column word hasher, default ``F.xxhash64``."""
+    wh = word_hash or (lambda w: F.xxhash64(w))
+    words = F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+    return F.transform(words, wh)
+
+
+def md5_word_hash(w):
+    """SQL-portable 64-bit word hash: first 16 hex chars of md5, parsed
+    as two 32-bit halves (Spark's conv() cannot parse >=2^63 in one go).
+    DuckDB mirrors it as CAST('0x' || substring(md5(w),1,16) AS UBIGINT),
+    which is what makes the SimHash gate oracle-checkable."""
+    hi = F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(F.md5(w), 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+def _flat_word_hashes(wh_series: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Flatten a pandas Series of int64 word-hash arrays into
+    (values uint64, doc start offsets int64, lens)."""
+    arrs = [np.asarray(a, dtype=np.int64) for a in wh_series]
+    lens = np.array([len(a) for a in arrs], dtype=np.int64)
+    vals = np.concatenate(arrs) if arrs else np.empty(0, dtype=np.int64)
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:]) if len(lens) > 1 else None
+    return vals.view(np.uint64), starts, lens
+
+
+def _shingle_hash_flat(vals: np.ndarray, starts: np.ndarray, lens: np.ndarray,
+                       n: int) -> tuple[np.ndarray, np.ndarray]:
+    """uint64 shingle hashes for every doc, fully vectorized: a doc with
+    L >= n words yields its L-n+1 sliding windows (murmur64 over the 8n
+    window bytes); a shorter doc yields ONE whole-doc shingle — the same
+    semantics as hashing the joined shingle strings, minus the Python
+    string building.  Returns (flat shingle hashes, per-doc starts)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from .hashing import _murmur64a_fixed
+
+    n_docs = len(lens)
+    counts = np.where(lens >= n, lens - n + 1, 1)
+    out_starts = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(counts[:-1], out=out_starts[1:]) if n_docs > 1 else None
+    out = np.empty(int(counts.sum()), dtype=np.uint64)
+
+    b = vals.view(np.uint8)
+    big = lens >= n
+    n_windows = len(vals) - n + 1
+    if big.any() and n_windows > 0:
+        # every n-word window in the flat buffer, then mask out the
+        # windows that straddle a doc boundary (interval cumsum trick)
+        wins = np.ascontiguousarray(sliding_window_view(b, 8 * n)[::8])
+        wh = _murmur64a_fixed(wins, 8 * n, np.uint64(0xE17A1465))
+        delta = np.zeros(n_windows + 1, dtype=np.int64)
+        np.add.at(delta, starts[big], 1)
+        np.add.at(delta, starts[big] + lens[big] - n + 1, -1)
+        valid = np.cumsum(delta[:-1]) > 0
+        big_out = np.ones(len(out), dtype=bool)
+        big_out[out_starts[~big]] = False
+        out[big_out] = wh[valid]
+    if (~big).any():
+        # whole-doc fallback shingles: variable byte lengths → chunked
+        small_starts, small_lens = starts[~big], lens[~big]
+        offs = np.empty(len(small_starts) + 1, dtype=np.int64)
+        offs[0] = 0
+        np.cumsum(small_lens * 8, out=offs[1:])
+        buf = np.concatenate(
+            [b[s * 8 : (s + L) * 8] for s, L in zip(small_starts, small_lens)]
+        ) if len(small_starts) else np.empty(0, dtype=np.uint8)
+        from .hashing import murmur64a_chunked
+
+        out[out_starts[~big]] = murmur64a_chunked(buf, offs)
+    return out, out_starts
+
+
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's default parallelism when the
+    upstream has fewer partitions (a single small parquet file would
+    otherwise run the whole Python kernel single-threaded).  No-op at
+    scale, where input partitions >> cores."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+# shingles per permutation-matrix chunk: bounds the (num_hashes, chunk)
+# uint64 temporaries to ~64 MB however large the Arrow batch is
+_PERM_CHUNK = 1 << 17
 
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 64, shingle: int = 5,
                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, signature array<long>) — MinHash over word-shingle sets.
-    One permutation family via splitmix64(shingle_hash ^ seed_i);
-    vectorized: (num_hashes, n_shingles) min-reduce per doc."""
+
+    Tokenize+hash runs JVM-side (``word_hash_array``); the Python kernel
+    only sees int64 word hashes through Arrow and is fully vectorized:
+    stride-tricks window hashing for shingles, a splitmix64 permutation
+    matrix chunked at doc boundaries (memory-bounded), and
+    ``np.minimum.reduceat`` at doc offsets for the per-doc min."""
     seeds = splitmix64(np.arange(1, num_hashes + 1, dtype=np.uint64))
 
     schema = T.StructType([
@@ -152,18 +235,33 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64, shingle: int = 5,
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            sh = _shingle_hashes(pdf[text_col].to_numpy(), shingle)
-            sigs = []
+            if len(pdf) == 0:
+                continue
+            vals, starts, lens = _flat_word_hashes(pdf["__wh"])
+            sh, sh_starts = _shingle_hash_flat(vals, starts, lens, shingle)
+            n_docs = len(lens)
+            ends = np.append(sh_starts, len(sh))
+            sigs = np.empty((n_docs, num_hashes), dtype=np.uint64)
+            d0 = 0
             with np.errstate(over="ignore"):
-                for h in sh:
-                    if len(h) == 0:
-                        sigs.append(np.zeros(num_hashes, dtype=np.int64))
-                        continue
-                    perms = splitmix64(h[None, :] ^ seeds[:, None])  # (k, n)
-                    sigs.append(perms.min(axis=1).view(np.int64))
-            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "signature": [s.tolist() for s in sigs]})
+                while d0 < n_docs:
+                    d1 = int(np.searchsorted(ends, ends[d0] + _PERM_CHUNK, side="left"))
+                    d1 = min(max(d1, d0 + 1), n_docs)
+                    seg = sh[ends[d0] : ends[d1]]
+                    perms = splitmix64(seg[None, :] ^ seeds[:, None])  # (k, chunk)
+                    mins = np.minimum.reduceat(perms, sh_starts[d0:d1] - ends[d0], axis=1)
+                    sigs[d0:d1] = mins.T
+                    d0 = d1
+            sigs = sigs.view(np.int64)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "signature": [s.tolist() for s in sigs],
+            })
 
-    return docs.select(id_col, text_col).mapInPandas(gen, schema=schema)
+    prepared = _ensure_parallelism(docs.select(id_col, F.col(text_col))).select(
+        id_col, word_hash_array(text_col).alias("__wh")
+    )
+    return prepared.mapInPandas(gen, schema=schema)
 
 
 def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
@@ -191,7 +289,7 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
     ).select(id_col, "signature", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
-        a.join(b, ["band", "bh"])
+        a.join(b.hint("shuffle_hash"), ["band", "bh"])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
@@ -213,37 +311,102 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
     )
 
 
-def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, simhash long): 64-bit SimHash over word hashes — bit-majority
-    of murmur64(word), vectorized with an unpacked bit matrix."""
+def minhash_verified_pairs(docs: DataFrame, threshold: float = 0.9,
+                           num_hashes: int = 64, bands: int = 32, shingle: int = 5,
+                           id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Near-dup pairs = LSH candidates ∩ exact shingle-Jaccard ≥ threshold.
+
+    The correctness-gate form of MinHash-LSH: exact Jaccard (computed
+    over the same word-shingle sets the signatures sketch) filters the
+    candidates, so precision is exact by construction and RECALL is what
+    the oracle checks — a true pair the banding misses is a missing
+    output row.  With r = num_hashes/bands rows per band the miss
+    probability at similarity s is (1-s^r)^bands; at the defaults
+    (r=2, 32 bands, s ≥ 0.9) it is < 1e-15."""
+    sigs = minhash_signatures(docs, num_hashes, shingle, id_col, text_col)
+    rows_per_band = num_hashes // bands
+    banded = sigs.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.slice("signature", b * rows_per_band + 1, rows_per_band)).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b.hint("shuffle_hash"), ["band", "bh"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    grams = _word_ngrams(docs, shingle, id_col, text_col)
+    counts = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    ga = grams.withColumnRenamed(id_col, "id_a")
+    gb = grams.withColumnRenamed(id_col, "id_b")
+    inter = (
+        cand.join(ga, "id_a").join(gb, ["id_b", "gram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    ca = counts.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_grams", "ga")
+    cb = counts.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_grams", "gb")
+    return (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn("raw_j", F.col("n_inter") / (F.col("ga") + F.col("gb") - F.col("n_inter")))
+        .where(F.col("raw_j") >= threshold)  # filter on the RAW ratio — the oracle does too
+        .select("id_a", "id_b", F.round("raw_j", 4).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+              word_hash=None) -> DataFrame:
+    """(id, simhash long): 64-bit SimHash — strict bit-majority over the
+    per-word 64-bit hashes (bit b set iff 2·ones_b > n_words).
+
+    Tokenize+hash runs JVM-side; the kernel unpacks the whole batch's
+    word hashes into one (N, 64) bit matrix and takes per-doc majorities
+    with ``np.add.reduceat`` — no per-doc Python.  Pass
+    ``word_hash=md5_word_hash`` for the SQL-portable variant the DuckDB
+    gate oracle mirrors bit-for-bit."""
     schema = T.StructType([
         T.StructField(id_col, T.LongType()),
         T.StructField("simhash", T.LongType()),
     ])
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = np.zeros(len(pdf), dtype=np.uint64)
-            for i, t in enumerate(pdf[text_col].to_numpy()):
-                words = ("" if t is None else str(t)).lower().split()
-                if not words:
-                    continue
-                h = murmur64a_array(np.array(words, dtype=object))
-                bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-                maj = (2 * bits - 1).sum(axis=0) > 0
-                out[i] = np.sum(maj.astype(np.uint64) << np.arange(64, dtype=np.uint64))
+            if len(pdf) == 0:
+                continue
+            vals, starts, lens = _flat_word_hashes(pdf["__wh"])
+            bits = np.unpackbits(vals.view(np.uint8).reshape(-1, 8), axis=1,
+                                 bitorder="little").astype(np.int64)  # (N, 64)
+            ones = np.add.reduceat(bits, starts, axis=0)  # (docs, 64)
+            maj = (2 * ones) > lens[:, None]
+            out = (maj.astype(np.uint64) * weights[None, :]).sum(axis=1)
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "simhash": out.view(np.int64)})
 
-    return docs.select(id_col, text_col).mapInPandas(gen, schema=schema)
+    prepared = _ensure_parallelism(docs.select(id_col, F.col(text_col))).select(
+        id_col, word_hash_array(text_col, word_hash).alias("__wh")
+    )
+    return prepared.mapInPandas(gen, schema=schema)
 
 
 def simhash_near_dups(docs: DataFrame, hamming_max: int = 3,
-                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                      id_col: str = "doc_id", text_col: str = "text",
+                      word_hash=None) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= hamming_max, using the
     4-block pigeonhole trick: any pair within distance 3 agrees on at
     least one of four 16-bit blocks → block-equality self-join buckets
     candidates, exact popcount verifies (no cross product)."""
-    sh = simhash64(docs, id_col, text_col)
+    sh = simhash64(docs, id_col, text_col, word_hash)
     blocks = sh.select(
         id_col,
         "simhash",
@@ -264,7 +427,7 @@ def simhash_near_dups(docs: DataFrame, hamming_max: int = 3,
     a, b = blocks.alias("a"), blocks.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(b, ["blk", "bv"])
+        a.join(b.hint("shuffle_hash"), ["blk", "bv"])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
@@ -277,12 +440,11 @@ def simhash_near_dups(docs: DataFrame, hamming_max: int = 3,
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
-                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Exact word n-gram Jaccard over candidate pairs sharing at least
-    one n-gram (explode→co-group join; SQL-expressible for the oracle).
-    Quadratic only within shared-shingle buckets."""
-    grams = docs.select(
+def _word_ngrams(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
+    """Distinct (id, gram) rows of word n-grams, with the whole-text
+    fallback for docs shorter than n words (same semantics as the
+    MinHash shingle kernel)."""
+    return docs.select(
         id_col,
         F.explode(
             F.transform(
@@ -296,11 +458,39 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
             )
         ).alias("gram"),
     ).distinct()
+
+
+def cap_doc_frequency(exploded: DataFrame, key: str, max_doc_freq: int) -> DataFrame:
+    """Drop join keys (grams / fingerprints) whose document frequency
+    exceeds ``max_doc_freq`` before a pair-generating self-join.
+
+    The 100-TB guard: one stop-gram shared by f documents produces
+    O(f²) candidate pairs in the co-group; capping bounds every bucket
+    at max_doc_freq² pairs.  Recall effect: a pair is lost only if ALL
+    of its shared keys are hotter than the cap — near-duplicates share
+    many keys, the overwhelming majority of which are rare, so recall
+    loss is negligible while worst-case cost becomes linear."""
+    hot = exploded.groupBy(key).count().where(F.col("count") > max_doc_freq).select(key)
+    return exploded.join(F.broadcast(hot), key, "left_anti")
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        max_gram_doc_freq: int | None = None) -> DataFrame:
+    """Exact word n-gram Jaccard over candidate pairs sharing at least
+    one n-gram (explode→co-group join; SQL-expressible for the oracle).
+    Quadratic only within shared-shingle buckets; pass
+    ``max_gram_doc_freq`` to drop hot grams from the JOIN (candidate
+    generation) while keeping the per-doc gram counts — and thus the
+    Jaccard values — exact."""
+    grams = _word_ngrams(docs, n, id_col, text_col)
     counts = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    if max_gram_doc_freq is not None:
+        grams = cap_doc_frequency(grams, "gram", max_gram_doc_freq)
     a = grams.withColumnRenamed(id_col, "id_a")
     b = grams.withColumnRenamed(id_col, "id_b")
     inter = (
-        a.join(b, "gram")
+        a.join(b.hint("shuffle_hash"), "gram")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
@@ -310,9 +500,9 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     return (
         inter.join(ca, "id_a")
         .join(cb, "id_b")
-        .withColumn("jaccard", F.round(F.col("n_inter") / (F.col("ga") + F.col("gb") - F.col("n_inter")), 4))
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .withColumn("raw_j", F.col("n_inter") / (F.col("ga") + F.col("gb") - F.col("n_inter")))
+        .where(F.col("raw_j") >= threshold)  # filter on the RAW ratio — the oracle does too
+        .select("id_a", "id_b", F.round("raw_j", 4).alias("jaccard"))
         .orderBy("id_a", "id_b")
     )
 
@@ -392,14 +582,21 @@ def _hash_kgrams(grams: np.ndarray) -> np.ndarray:
 
 def winnowing_similar_pairs(docs: DataFrame, k: int = 5, window: int = 4,
                             min_shared: int = 10,
-                            id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                            id_col: str = "doc_id", text_col: str = "text",
+                            max_fp_doc_freq: int | None = None) -> DataFrame:
     """Doc pairs sharing >= min_shared winnowing fingerprints (equi-join
-    on fingerprint → co-group count; no cross product)."""
+    on fingerprint → co-group count; no cross product).  Pass
+    ``max_fp_doc_freq`` to drop corpus-hot fingerprints before the join
+    (see ``cap_doc_frequency`` — bounds the worst-case bucket blowup at
+    the cost of undercounting shared fingerprints for pairs that share
+    hot ones)."""
     fp = winnowing_fingerprints(docs, k, window, id_col, text_col)
+    if max_fp_doc_freq is not None:
+        fp = cap_doc_frequency(fp, "fingerprint", max_fp_doc_freq)
     a = fp.withColumnRenamed(id_col, "id_a")
     b = fp.withColumnRenamed(id_col, "id_b")
     return (
-        a.join(b, "fingerprint")
+        a.join(b.hint("shuffle_hash"), "fingerprint")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("shared_fingerprints"))

@@ -83,7 +83,8 @@ def test_simhash_identical_and_hamming(spark, docs):
             assert len({sh[i] for i in ids}) == 1  # same text → same simhash
     near = simhash_near_dups(docs, hamming_max=3).collect()
     for r in near:
-        assert bin(sh[r["id_a"]] ^ sh[r["id_b"]]).count("1") == r["hamming"]
+        # mask to 64 bits: int64 simhashes are signed, Python ints are not
+        assert bin((sh[r["id_a"]] ^ sh[r["id_b"]]) & ((1 << 64) - 1)).count("1") == r["hamming"]
         assert r["hamming"] <= 3
 
 
