@@ -296,13 +296,6 @@ def q_bpe_token_stats(spark, sf_dir):
     return bpe_token_stats(_t(spark, sf_dir, "documents"))
 
 
-def q_winnowing_pairs(spark, sf_dir):
-    _ship(spark)
-    from stream_lib_spark.textops import winnowing_similar_pairs
-
-    return winnowing_similar_pairs(_t(spark, sf_dir, "documents"), min_shared=40)
-
-
 def q_ngram_jaccard_dups(spark, sf_dir):
     from stream_lib_spark.textops import ngram_jaccard_pairs
 
@@ -488,54 +481,133 @@ def q_cms_conservative_event_freq(spark, sf_dir):
     return spark.createDataFrame(rows, "event_type string, exact_cnt long, cons_ok boolean")
 
 
-# ------------------------------------------------------- rows-only (no SQL)
+# -------------------------------------------- near-dup / ANN (oracle-checked)
 
 def q_minhash_dedup_pairs(spark, sf_dir):
+    """MinHash-LSH recall gate: output = LSH candidates ∩ exact 5-gram
+    Jaccard ≥ 0.9; the oracle enumerates ALL exact pairs ≥ 0.9, so any
+    pair the banding misses is a missing row (r=2 × 32 bands → miss
+    probability < 1e-15 at s=0.9).  Precision is exact by construction."""
     _ship(spark)
-    from stream_lib_spark.textops import minhash_lsh_pairs
+    from stream_lib_spark.textops import minhash_verified_pairs
 
-    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return minhash_verified_pairs(_t(spark, sf_dir, "documents"), threshold=0.9)
 
 
 def q_simhash_near_dups(spark, sf_dir):
+    """SimHash gate with a full value oracle: the md5-based word hash is
+    SQL-portable, so DuckDB recomputes every 64-bit simhash and brute
+    forces all pairs; the Spark side must produce EXACTLY the pairs with
+    Hamming ≤ 3 (4-block pigeonhole is lossless at distance ≤ 3)."""
     _ship(spark)
-    from stream_lib_spark.textops import simhash_near_dups
+    from stream_lib_spark.textops import md5_word_hash, simhash_near_dups
 
-    return simhash_near_dups(_t(spark, sf_dir, "documents"), hamming_max=6)
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return simhash_near_dups(docs, hamming_max=3, word_hash=md5_word_hash)
 
 
 def q_embedding_near_dups(spark, sf_dir):
+    """Embedding near-dup recall gate over planted duplicates: each
+    vec_id<50 gets a perturbed copy (first coord +0.2 → cosine ≈ 0.98 to
+    its parent, ≤ 0.52 to everything else), so ground truth at 0.7 is
+    exactly the 50 planted pairs — LSH recall is genuinely exercised."""
     _ship(spark)
     from stream_lib_spark.similarity import embedding_near_dup_pairs
 
-    emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, dim=64, threshold=0.7)
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.concat(F.array(F.col("embedding")[0] + F.lit(0.2)),
+                 F.slice("embedding", 2, 63)).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+    return embedding_near_dup_pairs(corpus, dim=64, threshold=0.7).select("id_a", "id_b")
 
 
 def q_lsh_ann_topk(spark, sf_dir):
+    """LSH-ANN recall gate: ≥2 of the exact top-3 neighbors (computed by
+    the brute-force operator, itself oracle-matched in ann_topk) must
+    appear in the LSH result for every query."""
     _ship(spark)
-    from stream_lib_spark.similarity import lsh_bucketed_topk
+    from stream_lib_spark.similarity import brute_force_topk, lsh_bucketed_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    return lsh_bucketed_topk(emb, emb.where(F.col("vec_id") < 5), dim=64, k=3, n_planes=8, n_bands=8)
+    queries = emb.where(F.col("vec_id") < 5)
+    # the fixture's embeddings are unclustered (top-3 cosine ~0.4), so
+    # probe densely: p_agree≈0.63/plane → band hit 0.63^4≈0.16, 24 bands
+    # → per-neighbor recall ≈ 1-(1-0.16)^24 ≈ 0.98
+    lsh = lsh_bucketed_topk(emb, queries, dim=64, k=3, n_planes=4, n_bands=24)
+    qlist = [(r["vec_id"], list(r["embedding"])) for r in queries.collect()]
+    exact = brute_force_topk(emb, qlist, k=3)
+    hits = (
+        lsh.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    qids = queries.select(F.col("vec_id").alias("query_id"))
+    return (
+        qids.join(hits, "query_id", "left")
+        .select("query_id", (F.coalesce("hits", F.lit(0)) >= 2).alias("recall_ok"))
+        .orderBy("query_id")
+    )
+
+
+def q_winnowing_dup_recall(spark, sf_dir):
+    """Winnowing recall gate over planted near-copies: every sufficiently
+    long doc_id<30 gets a tail-appended copy; the copy shares almost all
+    winnowing fingerprints, so every planted pair MUST surface at
+    min_shared=10 — the oracle enumerates the planted set exactly."""
+    _ship(spark)
+    from stream_lib_spark.textops import winnowing_similar_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text")
+    planted = docs.where((F.col("doc_id") < 30) & (F.col("n_chars") >= 200)).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" extra tail words appended")).alias("text"),
+    )
+    corpus = base.unionByName(planted)
+    pairs = winnowing_similar_pairs(corpus, min_shared=10)
+    return (
+        pairs.where((F.col("id_a") < 30) & (F.col("id_b") == F.col("id_a") + 1_000_000))
+        .select("id_a", "id_b")
+        .orderBy("id_a")
+    )
 
 
 def q_transcript_tool_topk(spark, sf_dir):
+    """Space-Saving tool top-k over the derived transcript view; the
+    tool domain (7 values) is far below capacity, so the summary is
+    EXACT and the oracle compares full values."""
     _ship(spark)
     from stream_lib_spark.functions import approx_topk
-    from stream_lib_spark.transcripts import generate_transcripts
 
-    t = generate_transcripts(spark, n_convs=300, partitions=8)
-    return approx_topk(t.where(F.col("tool").isNotNull()), "tool", k=5, capacity=256)
+    t = _t(spark, sf_dir, "events").withColumn(
+        "tool", F.concat(F.lit("tool-"), (F.col("event_id") % 7).cast("string"))
+    )
+    out = approx_topk(t, "tool", k=5, capacity=64)
+    return out.select(F.col("item").alias("tool"), F.col("count").alias("cnt"), "rank").orderBy("rank")
 
 
 def q_transcript_latency_quantiles(spark, sf_dir):
+    """approx_quantiles API gate (t-digest path) on transcript turn
+    latencies: each estimate's exact rank must sit within the reference
+    t-digest bound (0.012)."""
     _ship(spark)
     from stream_lib_spark.functions import approx_quantiles
-    from stream_lib_spark.transcripts import generate_transcripts, turn_latencies
 
-    t = generate_transcripts(spark, n_convs=300, partitions=8)
-    return approx_quantiles(turn_latencies(t), "latency_s", [0.5, 0.9, 0.99], kind="tdigest")
+    t = _derived_transcripts(spark, sf_dir).where(F.col("latency_s").isNotNull())
+    row = approx_quantiles(t, "latency_s", QS, kind="tdigest").collect()[0]
+    ests = [(q, row[f"q_{str(q).replace('.', '_')}"]) for q in QS]
+    n = t.count()
+    agg = t.agg(
+        *[F.sum((F.col("latency_s") <= F.lit(v)).cast("long")).alias(f"r{i}") for i, (_, v) in enumerate(ests)]
+    ).collect()[0]
+    rows = [(q, bool(abs(agg[f"r{i}"] / n - q) <= 0.012)) for i, (q, _) in enumerate(ests)]
+    return spark.createDataFrame(rows, "q double, within_bound boolean")
 
 
 def q_image_features(spark, sf_dir):
@@ -577,7 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_dup_groups": q_fingerprint_dup_groups,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "bpe_token_stats": q_bpe_token_stats,
-        "winnowing_pairs": q_winnowing_pairs,
+        "winnowing_dup_recall": q_winnowing_dup_recall,
         "ann_topk": q_ann_topk,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "simhash_near_dups": q_simhash_near_dups,
@@ -628,6 +700,28 @@ def _langid_sql():
         expr = f"CASE WHEN {s} > {best} THEN '{lang}' ELSE {expr} END"
         best = f"CASE WHEN {s} > {best} THEN {s} ELSE {best} END"
     return expr
+
+
+def _simhash_oracle_sql() -> str:
+    """Brute-force SimHash oracle: recompute every doc's 64-bit simhash
+    in DuckDB from the SQL-portable md5 word hash (mirrors
+    textops.md5_word_hash + the strict-majority kernel bit-for-bit) and
+    enumerate all pairs with Hamming ≤ 3."""
+    sums = ", ".join(f"SUM(CAST((hv >> {j}) & 1 AS BIGINT)) AS b{j}" for j in range(64))
+    hi = " + ".join(f"(CASE WHEN 2*b{32 + j} > nw THEN {1 << j} ELSE 0 END)" for j in range(32))
+    lo = " + ".join(f"(CASE WHEN 2*b{j} > nw THEN {1 << j} ELSE 0 END)" for j in range(32))
+    ham = ("bit_count(xor(CAST(a.hi AS UBIGINT), CAST(b.hi AS UBIGINT))) + "
+           "bit_count(xor(CAST(a.lo AS UBIGINT), CAST(b.lo AS UBIGINT)))")
+    return (
+        "WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word "
+        "  FROM documents WHERE text IS NOT NULL), "
+        "h AS (SELECT doc_id, CAST('0x' || substring(md5(word), 1, 16) AS UBIGINT) AS hv FROM w), "
+        f"c AS (SELECT doc_id, COUNT(*) AS nw, {sums} FROM h GROUP BY doc_id), "
+        f"s AS (SELECT doc_id, CAST({hi} AS BIGINT) AS hi, CAST({lo} AS BIGINT) AS lo FROM c) "
+        f"SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST({ham} AS INT) AS hamming "
+        "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+        f"WHERE {ham} <= 3 ORDER BY id_a, id_b"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -737,6 +831,52 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp, "
             "  CAST(COUNT(*) AS BIGINT) AS sz FROM documents GROUP BY 1 HAVING COUNT(*) > 1"
             ")"
+        ),
+        "minhash_dedup_pairs": (
+            "WITH toks AS ("
+            "  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents"
+            "), exploded AS ("
+            "  SELECT doc_id, unnest([array_to_string(w[i : i + 4], ' ') "
+            "    for i in generate_series(1, greatest(len(w) - 4, 1))]) AS gram FROM toks"
+            "), grams AS (SELECT DISTINCT doc_id, gram FROM exploded"
+            "), cnt AS (SELECT doc_id, COUNT(*) AS g FROM grams GROUP BY doc_id), "
+            "inter AS ("
+            "  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni "
+            "  FROM grams a JOIN grams b USING (gram) WHERE a.doc_id < b.doc_id "
+            "  GROUP BY 1, 2"
+            ") "
+            "SELECT id_a, id_b, ROUND(CAST(ni AS DOUBLE) / (ca.g + cb.g - ni), 4) AS jaccard "
+            "FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b "
+            "WHERE CAST(ni AS DOUBLE) / (ca.g + cb.g - ni) >= 0.9 ORDER BY id_a, id_b"
+        ),
+        "simhash_near_dups": _simhash_oracle_sql(),
+        "embedding_near_dups": (
+            "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "
+            "planted AS (SELECT vec_id + 1000000 AS vec_id, "
+            "  list_prepend(e[1] + 0.2, e[2:64]) AS e FROM base WHERE vec_id < 50), "
+            "allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted) "
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+            "FROM allv a, allv b "
+            "WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.e, b.e) >= 0.7 "
+            "ORDER BY id_a, id_b"
+        ),
+        "lsh_ann_topk": (
+            "SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings "
+            "WHERE vec_id < 5 ORDER BY query_id"
+        ),
+        "winnowing_dup_recall": (
+            "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents "
+            "WHERE doc_id < 30 AND n_chars >= 200 ORDER BY id_a"
+        ),
+        "transcript_tool_topk": (
+            "WITH c AS ("
+            "  SELECT 'tool-' || CAST(event_id % 7 AS VARCHAR) AS tool, "
+            "  CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1"
+            ") SELECT tool, cnt, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tool ASC) AS INT) AS rank "
+            "FROM c ORDER BY rank LIMIT 5"
+        ),
+        "transcript_latency_quantiles": (
+            f"SELECT * FROM (VALUES {qs_rows}) AS t(q, within_bound)"
         ),
         "ngram_jaccard_dups": (
             "WITH toks AS ("
