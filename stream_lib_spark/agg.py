@@ -254,8 +254,20 @@ def sketch_partials(df: DataFrame, keys: list[str], col: str, spec: SketchSpec,
     return prepared.mapInPandas(build, schema=out_schema)
 
 
+def _auto_fan_in(n_parts: int, threshold: int = 64) -> int | None:
+    """Two-level merge sizing: above ``threshold`` input partitions a
+    global fold gets an intermediate level of ~sqrt(n) buckets, so both
+    levels fold ~sqrt(n) blobs.  At 10^6 input partitions the single
+    reducer would otherwise pull 10^6 × 16 KB-240 KB blobs."""
+    if n_parts <= threshold:
+        return None
+    import math
+
+    return int(math.ceil(math.sqrt(n_parts)))
+
+
 def merge_partials(partials: DataFrame, keys: list[str], spec: SketchSpec,
-                   fan_in: int | None = None,
+                   fan_in: int | None | str = "auto",
                    finalize_compress: bool = True) -> DataFrame:
     """Tree-merge partial sketches to one row per key.
 
@@ -264,7 +276,13 @@ def merge_partials(partials: DataFrame, keys: list[str], spec: SketchSpec,
     huge partition counts).  Bucketing is deterministic
     (pmod(xxhash64 of monotonically_increasing_id), fan_in) only in
     topology, not in result: all merges are commutative monoids.
+    Default ``"auto"``: for GLOBAL aggregates the level is inserted
+    automatically once the partials span > 64 partitions (keyed
+    aggregates already spread across the groupBy reducers; pass an int
+    to force a level there too).
     """
+    if fan_in == "auto":
+        fan_in = None if keys else _auto_fan_in(partials.rdd.getNumPartitions())
     key_fields = [partials.schema[k] for k in keys]
     out_schema = T.StructType(key_fields + [T.StructField(STATE_COL, T.BinaryType())])
 
@@ -324,8 +342,10 @@ def merge_partials(partials: DataFrame, keys: list[str], spec: SketchSpec,
 
 
 def sketch_agg(df: DataFrame, keys: list[str], col: str, spec: SketchSpec,
-               hash_mode: str = "xxhash64", fan_in: int | None = None) -> DataFrame:
-    """Full two-level sketch aggregation → (keys..., sketch)."""
+               hash_mode: str = "xxhash64", fan_in: int | None | str = "auto") -> DataFrame:
+    """Full two-level sketch aggregation → (keys..., sketch).  Global
+    aggregates over >64 partitions automatically get a third (fan-in)
+    merge level — see ``merge_partials``."""
     return merge_partials(sketch_partials(df, keys, col, spec, hash_mode), keys, spec, fan_in)
 
 
@@ -433,8 +453,9 @@ def multi_sketch_agg(df: DataFrame, sketches: dict[str, tuple[str, SketchSpec]],
 
 
 def _merge_multi(partials: DataFrame, keys: list[str], names: list[str],
-                 specs: dict[str, SketchSpec], out_schema: T.StructType) -> DataFrame:
-    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+                 specs: dict[str, SketchSpec], out_schema: T.StructType,
+                 fan_in: int | None | str = "auto") -> DataFrame:
+    def merge_cols(pdf: pd.DataFrame, compress: bool) -> dict:
         out = {}
         for n in names:
             sk = None
@@ -443,9 +464,13 @@ def _merge_multi(partials: DataFrame, keys: list[str], names: list[str],
                 sk = s if sk is None else sk.merge(s)
             if sk is None:
                 sk = specs[n].new()
-            if isinstance(sk, TDigest):
+            if compress and isinstance(sk, TDigest):
                 sk.compress()
             out[n] = [sk.to_bytes()]
+        return out
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = merge_cols(pdf, compress=True)
         head = pdf[keys].iloc[:1].reset_index(drop=True) if keys else pd.DataFrame(index=[0])
         for n in names:
             head[n] = out[n]
@@ -453,6 +478,29 @@ def _merge_multi(partials: DataFrame, keys: list[str], names: list[str],
 
     if keys:
         return partials.groupBy(*keys).applyInPandas(merge_group, schema=out_schema)
+
+    if fan_in == "auto":
+        fan_in = _auto_fan_in(partials.rdd.getNumPartitions())
+    if fan_in:
+        bucket = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(fan_in)).cast("int")
+        mid_schema = T.StructType(
+            [T.StructField("__bkt", T.IntegerType())]
+            + [out_schema[n] for n in names]
+        )
+
+        def merge_mid(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = merge_cols(pdf, compress=False)
+            head = pd.DataFrame({"__bkt": [int(pdf["__bkt"].iloc[0])]})
+            for n in names:
+                head[n] = out[n]
+            return head
+
+        partials = (
+            partials.withColumn("__bkt", bucket)
+            .groupBy("__bkt")
+            .applyInPandas(merge_mid, schema=mid_schema)
+            .drop("__bkt")
+        )
 
     def merge_all(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pdfs = [p for p in batches if len(p)]

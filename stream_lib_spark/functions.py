@@ -74,10 +74,10 @@ def approx_topk(df: DataFrame, col: str, k: int, capacity: int | None = None,
 
     def explode_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for _, r in pdf.iterrows():
-            ss = sketch_from_bytes(bytes(r["sketch"]))
+        for *kvals, blob in zip(*(pdf[c] for c in keys + ["sketch"])):
+            ss = sketch_from_bytes(bytes(blob))
             for i, (item, cnt, err) in enumerate(ss.top_k(k), 1):
-                rows.append([r[kk] for kk in keys] + [str(item), cnt, err, i])
+                rows.append(list(kvals) + [str(item), cnt, err, i])
         return pd.DataFrame(rows, columns=keys + ["item", "count", "error", "rank"])
 
     if keys:
@@ -113,8 +113,11 @@ def bloom_build(df: DataFrame, col: str, n_elements: int, fpp: float = 0.01, **k
 def bloom_probe(bf, df: DataFrame, col: str) -> DataFrame:
     """Probe a DataFrame column against a driver-side Bloom filter →
     adds boolean ``might_contain`` (JVM-side xxhash64 + Arrow batch probe).
-    The filter blob ships once per task (closure broadcast)."""
-    blob = bf.to_bytes()
+
+    The filter blob ships via ``SparkContext.broadcast`` — once per
+    executor, torrent-distributed — NOT in the UDF closure, which would
+    re-serialize it with every task (a 20M-element filter is ~24 MB)."""
+    bc = df.sparkSession.sparkContext.broadcast(bf.to_bytes())
 
     @F.pandas_udf(T.BooleanType())
     def probe(h: pd.Series) -> pd.Series:
@@ -122,7 +125,7 @@ def bloom_probe(bf, df: DataFrame, col: str) -> DataFrame:
 
         from .sketches.bloom import BloomFilter
 
-        filt = BloomFilter.from_bytes(blob)
+        filt = BloomFilter.from_bytes(bc.value)
         return pd.Series(filt.contains_hashed(h.to_numpy().astype(np.int64)))
 
     return df.withColumn("might_contain", probe(F.xxhash64(F.col(col))))

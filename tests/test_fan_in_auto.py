@@ -1,0 +1,69 @@
+"""Auto fan-in: global sketch merges over many partitions must get an
+intermediate merge level (no single reducer fed by hundreds of blobs),
+and the result must stay byte-identical for exact monoids."""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from stream_lib_spark.agg import (
+    SketchSpec,
+    _auto_fan_in,
+    merge_partials,
+    multi_sketch_agg,
+    sketch_agg,
+    sketch_partials,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_auto_fan_in_sizing():
+    assert _auto_fan_in(8) is None
+    assert _auto_fan_in(64) is None
+    assert _auto_fan_in(65) == 9
+    assert _auto_fan_in(10_000) == 100
+    assert _auto_fan_in(1_000_000) == 1000
+
+
+def test_global_merge_gets_fan_in_level_above_threshold(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    wide = sketch_agg(ev.repartition(96), [], "user_id", SketchSpec("hll", p=12))
+    narrow = sketch_agg(ev.repartition(8), [], "user_id", SketchSpec("hll", p=12))
+    # the fan-in level shows up as a grouped applyInPandas stage
+    assert "FlatMapGroupsInPandas" in _plan(wide)
+    assert "FlatMapGroupsInPandas" not in _plan(narrow)
+    # exact monoid ⇒ byte-identical result regardless of merge topology
+    assert bytes(wide.collect()[0]["sketch"]) == bytes(narrow.collect()[0]["sketch"])
+
+
+def test_multi_sketch_fan_in_byte_identical(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    sketches = {
+        "h": ("user_id", SketchSpec("hll", p=12)),
+        "c": ("event_type", SketchSpec("cms", eps=1e-3, confidence=0.99)),
+    }
+    wide = multi_sketch_agg(ev.repartition(96), sketches)
+    narrow = multi_sketch_agg(ev.repartition(4), sketches)
+    assert "FlatMapGroupsInPandas" in _plan(wide)
+    w, n = wide.collect()[0], narrow.collect()[0]
+    assert bytes(w["h"]) == bytes(n["h"]) and bytes(w["c"]) == bytes(n["c"])
+
+
+def test_explicit_fan_in_still_respected(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    partials = sketch_partials(ev.repartition(8), [], "user_id", SketchSpec("hll", p=12))
+    forced = merge_partials(partials, [], SketchSpec("hll", p=12), fan_in=3)
+    off = merge_partials(partials, [], SketchSpec("hll", p=12), fan_in=None)
+    assert "FlatMapGroupsInPandas" in _plan(forced)
+    assert "FlatMapGroupsInPandas" not in _plan(off)
+    assert bytes(forced.collect()[0]["sketch"]) == bytes(off.collect()[0]["sketch"])
