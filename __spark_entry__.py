@@ -163,6 +163,30 @@ def q_kll_price_quantiles(spark, sf_dir):
     return spark.createDataFrame(rows, "q double, within_bound boolean")
 
 
+def q_qdigest_price_quantiles(spark, sf_dir):
+    """QDigest gate: every quantile estimate's exact rank window must
+    overlap q ± eps with eps = logCapacity/compression_factor — the
+    reference's QDigestTest.java:55-60 criterion as a value gate."""
+    _ship(spark)
+    from stream_lib_spark.agg import SketchSpec, collect_sketch, sketch_agg
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_extendedprice").isNotNull())
+    cents = li.select((F.col("l_extendedprice") * 100).cast("long").alias("cents"))
+    sk = collect_sketch(sketch_agg(cents, [], "cents", SketchSpec("qdigest", compression_factor=2048)))
+    n = cents.count()
+    eps = sk.eps
+    ests = [(q, sk.quantile(q)) for q in QS]
+    agg = cents.agg(
+        *[F.sum((F.col("cents") < F.lit(v)).cast("long")).alias(f"lo{i}") for i, (_, v) in enumerate(ests)],
+        *[F.sum((F.col("cents") <= F.lit(v)).cast("long")).alias(f"hi{i}") for i, (_, v) in enumerate(ests)],
+    ).collect()[0]
+    rows = [
+        (q, bool(agg[f"lo{i}"] / n - eps <= q <= agg[f"hi{i}"] / n + eps))
+        for i, (q, _) in enumerate(ests)
+    ]
+    return spark.createDataFrame(rows, "q double, within_bound boolean")
+
+
 def q_bloom_custkey(spark, sf_dir):
     _ship(spark)
     from stream_lib_spark.functions import bloom_build, bloom_probe
@@ -631,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_event_freq": q_cms_event_freq,
         "tdigest_value_quantiles": q_tdigest_value_quantiles,
         "kll_price_quantiles": q_kll_price_quantiles,
+        "qdigest_price_quantiles": q_qdigest_price_quantiles,
         "bloom_custkey": q_bloom_custkey,
         "topk_event_types": q_topk_event_types,
         "heavy_hitters_partkey": q_heavy_hitters_partkey,
@@ -749,6 +774,9 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM (VALUES {qs_rows}) AS t(q, within_bound)"
         ),
         "kll_price_quantiles": (
+            f"SELECT * FROM (VALUES {qs_rows}) AS t(q, within_bound)"
+        ),
+        "qdigest_price_quantiles": (
             f"SELECT * FROM (VALUES {qs_rows}) AS t(q, within_bound)"
         ),
         "bloom_custkey": (

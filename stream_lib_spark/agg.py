@@ -57,6 +57,7 @@ from .sketches.countthenestimate import KIND_CTE, CountThenEstimate
 from .sketches.hll import HllPlusPlus
 from .sketches.kll import KLL
 from .sketches.linear import LinearCounting, LogLog
+from .sketches.qdigest import KIND_QDIGEST, QDigest
 from .sketches.spacesaving import SpaceSaving
 from .sketches.tdigest import TDigest
 
@@ -73,6 +74,7 @@ _KIND_TO_CLS = {
     KIND_LOGLOG: LogLog,
     KIND_CTE: CountThenEstimate,
     KIND_BOTTOMK: BottomKSample,
+    KIND_QDIGEST: QDigest,
 }
 
 
@@ -100,6 +102,7 @@ class SketchSpec:
         "loglog": (lambda p: LogLog(**p), "hash"),
         "countthenestimate": (lambda p: CountThenEstimate(**p), "hash"),
         "bottomk": (lambda p: BottomKSample(**p), "item"),
+        "qdigest": (lambda p: QDigest(**p), "ivalue"),
     }
 
     def __init__(self, kind: str, **params):
@@ -121,6 +124,9 @@ class SketchSpec:
             sk.update_hashed(arr) if self.kind != "bloom" else sk.add_hashed(arr)
         elif mode == "value":
             sk.add_values(arr)
+        elif mode == "ivalue":  # non-negative ints folded as exact counts
+            u, c = np.unique(arr.astype(np.int64, copy=False), return_counts=True)
+            sk.update_batch(u, c)
         else:  # item: arr = items, counts = exact in-batch frequencies
             sk.update_batch(arr, counts if counts is not None else np.ones(len(arr), dtype=np.int64))
         return sk
@@ -142,6 +148,8 @@ def _prepare_input(df: DataFrame, keys: list[str], col: str, spec: SketchSpec,
         return df.select(*kc, F.col(col).cast("string").alias("__in")), True
     if mode == "value":
         return df.select(*kc, F.col(col).cast("double").alias("__in")), False
+    if mode == "ivalue":
+        return df.select(*kc, F.col(col).cast("long").alias("__in")), False
     return df.select(*kc, F.col(col).cast("string").alias("__in")), False
 
 
@@ -168,6 +176,8 @@ def _np_from_arrow(arr, mode: str, python_hash: bool):
         return arr.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
     if mode == "value":
         return arr.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    if mode == "ivalue":
+        return arr.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
     vc = pa.compute.value_counts(arr)
     return (np.array(vc.field("values").to_pylist(), dtype=object),
             vc.field("counts").to_numpy())
@@ -224,6 +234,8 @@ def sketch_partials(df: DataFrame, keys: list[str], col: str, spec: SketchSpec,
                     arr = arr.astype(np.int64, copy=False)
             elif spec.input_mode == "value":
                 arr = arr.astype(np.float64, copy=False)
+            elif spec.input_mode == "ivalue":
+                arr = arr.astype(np.int64, copy=False)
             sk = states.get(key)
             if sk is None:
                 sk = states[key] = spec.new()
@@ -368,19 +380,20 @@ def multi_sketch_agg(df: DataFrame, sketches: dict[str, tuple[str, SketchSpec]],
         mode = spec.input_mode
         modes[name] = mode
         c = F.col(col)
-        if mode == "hash" and not python_hash:
+        if mode in ("hash", "ivalue") and not python_hash:
             if keys:
                 # Keyed path: NEVER ship a nullable long — a single null
                 # in a batch turns the pandas column float64 and rounds
-                # hashes to 53 bits (silent HLL inflation / CMS scatter /
-                # Bloom false negatives).  Ship a non-null hash plus a
-                # separate validity mask instead.
-                proj.append(F.xxhash64(c).alias(f"__in_{name}"))
+                # int64 payloads to 53 bits (silent HLL inflation / CMS
+                # scatter / Bloom false negatives).  Ship a non-null
+                # long plus a separate validity mask instead.
+                base = F.xxhash64(c) if mode == "hash" else F.coalesce(c.cast("long"), F.lit(0))
+                proj.append(base.alias(f"__in_{name}"))
                 proj.append(c.isNotNull().alias(f"__nn_{name}"))
                 continue
             # Global path reads Arrow buffers directly (nulls dropped
             # before numpy conversion), so the nullable column is safe.
-            expr = F.when(c.isNotNull(), F.xxhash64(c))
+            expr = F.when(c.isNotNull(), F.xxhash64(c)) if mode == "hash" else c.cast("long")
         elif mode == "hash":
             expr = c.cast("string")
         elif mode == "value":
@@ -410,7 +423,7 @@ def multi_sketch_agg(df: DataFrame, sketches: dict[str, tuple[str, SketchSpec]],
                 group = states[key] = {n: specs[n].new() for n in names}
             for n in names:
                 col_in = sub[f"__in_{n}"]
-                if modes[n] == "hash" and not python_hash:
+                if modes[n] in ("hash", "ivalue") and not python_hash:
                     # non-null int64 column + separate validity mask —
                     # the dtype stays int64 even when nulls were present
                     valid = sub[f"__nn_{n}"].to_numpy()

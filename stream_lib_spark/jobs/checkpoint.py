@@ -196,7 +196,7 @@ def _update_from_pdf(spec: SketchSpec, series: pd.Series):
 
     sk = spec.new()
     arr = series.to_numpy()
-    if spec.input_mode == "hash":
+    if spec.input_mode in ("hash", "ivalue"):
         spec.update(sk, arr.astype(np.int64, copy=False))
     elif spec.input_mode == "value":
         spec.update(sk, arr.astype(np.float64, copy=False))

@@ -58,17 +58,37 @@ class SpaceSaving:
         ``floor + c`` where ``floor`` is the current min count (an upper
         bound on their pre-batch frequency, exactly the classic
         Space-Saving eviction inheritance, ``StreamSummary.java:117-124``),
-        then one sorted truncation back to capacity.  O((cap + uniq)
-        log) per batch instead of O(uniq · cap) per-item eviction scans.
+        then one sorted truncation back to capacity.
+
+        Vectorized: membership via one hashed ``pd.Index.isin`` probe,
+        and when the batch has more new uniques than capacity they are
+        pre-truncated with a numpy lexsort on (count desc, key asc) —
+        provably the only new items that can survive the final
+        truncation, so the result is identical to the naive fold while
+        the Python-loop work is bounded by O(capacity), not O(uniques).
         """
+        import pandas as pd
+
+        counts = np.asarray(counts, dtype=np.int64)
         self.n += int(counts.sum())
         floor = min(self.counts.values()) if len(self.counts) >= self.capacity else 0
-        for item, c in zip(items.tolist(), counts.tolist()):
-            if item in self.counts:
-                self.counts[item] += int(c)
-            else:
-                self.counts[item] = int(c) + floor
-                self.errors[item] = floor
+        s_items = np.asarray(items, dtype=object)
+        if self.counts:
+            in_existing = pd.Index(s_items).isin(self.counts.keys())
+        else:
+            in_existing = np.zeros(len(s_items), dtype=bool)
+        for it, c in zip(s_items[in_existing].tolist(), counts[in_existing].tolist()):
+            self.counts[it] += int(c)
+        new_items, new_counts = s_items[~in_existing], counts[~in_existing]
+        if len(new_items) > self.capacity:
+            # (count desc, key asc) — same comparator as the final
+            # truncation; anything past capacity here is past capacity
+            # there too, since all new items share the same floor offset
+            order = np.lexsort((new_items.astype("U"), -new_counts))[: self.capacity]
+            new_items, new_counts = new_items[order], new_counts[order]
+        for it, c in zip(new_items.tolist(), new_counts.tolist()):
+            self.counts[it] = int(c) + floor
+            self.errors[it] = floor
         if len(self.counts) > self.capacity:
             ranked = sorted(self.counts.items(), key=lambda kv: (-kv[1], _key(kv[0])))
             self.counts = dict(ranked[: self.capacity])

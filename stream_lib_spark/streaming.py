@@ -115,6 +115,8 @@ def keyed_streaming_sketch(stream_df: DataFrame, keys: list[str], col: str,
         in_col = F.xxhash64(c).alias("__in")
     elif mode == "value":
         in_col = c.cast("double").alias("__in")
+    elif mode == "ivalue":
+        in_col = c.cast("long").alias("__in")
     else:
         in_col = c.cast("string").alias("__in")
     # offer(null) is a no-op — and filtering BEFORE the stateful operator
@@ -137,7 +139,7 @@ def keyed_streaming_sketch(stream_df: DataFrame, keys: list[str], col: str,
             arr = pdf["__in"].dropna()  # defensive; input is pre-filtered
             if len(arr) == 0:
                 continue
-            if mode == "hash":
+            if mode in ("hash", "ivalue"):
                 spec.update(sk, arr.to_numpy().astype(np.int64, copy=False))
             elif mode == "value":
                 spec.update(sk, arr.to_numpy().astype(np.float64, copy=False))
