@@ -60,9 +60,14 @@ def bench_queries(spark) -> tuple[dict, dict]:
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     tr = materialize_transcripts(spark)
     n_turns = tr.count()  # warm the scan
-    # warm the Python workers / Arrow runners once (a cluster amortizes
-    # this across the app; each timed query shouldn't re-pay it)
+    # warm the Python workers / Arrow runners / whole-stage codegen once
+    # per pipeline SHAPE (a long-lived cluster app amortizes this across
+    # queries; each timed query shouldn't re-pay JIT + worker spin-up)
     collect_sketch(sketch_agg(ev.limit(1000), [], "user_id", SketchSpec("hll", p=8)))
+    minhash_lsh_pairs(docs.limit(50), threshold=0.5).count()
+    approx_quantiles(turn_latencies(tr.limit(2000)), "latency_s", [0.5], kind="tdigest").collect()
+    bloom_probe(bloom_build(ev.limit(500), "user_id", n_elements=512, fpp=0.01),
+                spark.range(100), "id").count()
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
@@ -116,8 +121,15 @@ def run_scaling() -> dict:
     see BENCH.md): N=1 vs 4N=4 single-core Spark processes over disjoint
     shards of the same input — within the sandbox's memory-bandwidth
     envelope, unlike wider local[K] configs."""
-    from tools.bench_scaling_multiproc import orchestrate
+    from tools.bench_scaling_multiproc import INPUT, orchestrate
 
+    if not os.path.exists(os.path.join(INPUT, "_SUCCESS")):
+        # materialize the ~20M-turn scaling input once (excluded from timings)
+        from tools.bench_scaling import materialize
+
+        spark = _session(CPUS)
+        materialize(spark)
+        spark.stop()
     return orchestrate(levels=(1, 4))
 
 
@@ -128,7 +140,10 @@ def _session(cpus: int):
 
 
 def main():
-    scaling = "--scaling" in sys.argv
+    # scaling pair runs by DEFAULT so the per-round bench artifact carries
+    # the north-rule evidence (>=0.8 efficiency N→4N); skip with
+    # --no-scaling when iterating locally
+    scaling = "--no-scaling" not in sys.argv
     spark = _session(CPUS)
     timings, extras = bench_queries(spark)
     spark.stop()

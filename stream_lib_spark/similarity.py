@@ -155,6 +155,88 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 
     )
 
 
+def ivf_centroids(corpus: DataFrame, n_lists: int, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic IVF coarse quantizer WITHOUT iterative training:
+    centroids are the ``n_lists`` corpus vectors with the smallest
+    xxhash64(id) — a bottom-k sample, so every executor and every rerun
+    picks the same centroids with one small distributed top-k (no
+    k-means convergence loop, no RNG state).  Returns a normalized
+    (n_lists, dim) numpy matrix (small enough to broadcast)."""
+    rows = (
+        corpus.select(id_col, vec_col, F.xxhash64(F.col(id_col)).alias("__h"))
+        .orderBy("__h")
+        .limit(n_lists)
+        .collect()
+    )
+    return _normalize(np.array([list(r[vec_col]) for r in rows], dtype=np.float64))
+
+
+def ivf_assign(corpus: DataFrame, centroids: np.ndarray,
+               vec_col: str = "embedding") -> DataFrame:
+    """Add ``list_id``: argmax-cosine coarse assignment (one GEMM per
+    Arrow batch against the closed-over centroid matrix)."""
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(v: pd.Series) -> pd.Series:
+        m = _normalize(_as_matrix(v))
+        return pd.Series((m @ centroids.T).argmax(axis=1).astype(np.int32))
+
+    return corpus.withColumn("list_id", assign(F.col(vec_col)))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             n_lists: int = 16, n_probe: int = 8,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k: corpus vectors are bucketed into
+    ``n_lists`` inverted lists by nearest coarse centroid; each query
+    scores ONLY the ``n_probe`` lists nearest to it (exact cosine within
+    the probed lists, global window top-k).
+
+    The 100-TB shape: assignment is an embarrassingly-parallel GEMM; the
+    probe step is a broadcast equi-join on ``list_id`` — the corpus
+    never self-joins and only corpus rows in probed lists are scored,
+    cutting the scan to ~n_probe/n_lists of a brute-force pass.  On
+    clustered embeddings few probes suffice; this synthetic fixture is
+    unclustered, so the gate probes densely."""
+    cents = ivf_centroids(corpus, n_lists, id_col, vec_col)
+    bucketed = ivf_assign(corpus, cents, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), "list_id"
+    )
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = [r[id_col] for r in q_rows]
+    q_mat = _normalize(np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64))
+    probes = np.argsort(-(q_mat @ cents.T), axis=1)[:, :n_probe]  # (n_q, n_probe)
+    probe_rows = [
+        (int(qid), int(lst)) for qid, row in zip(q_ids, probes) for lst in row
+    ]
+    spark = corpus.sparkSession
+    probe_df = spark.createDataFrame(probe_rows, "query_id long, list_id int")
+    qvec_df = spark.createDataFrame(
+        [(int(qid), [float(x) for x in vec]) for qid, vec in zip(q_ids, q_mat)],
+        "query_id long, qvec array<double>",
+    )
+    cand = (
+        bucketed.join(F.broadcast(probe_df), "list_id")
+        .join(F.broadcast(qvec_df), "query_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+
+    @F.pandas_udf(T.DoubleType())
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma, mb = _normalize(_as_matrix(a)), _normalize(_as_matrix(b))
+        return pd.Series((ma * mb).sum(axis=1))
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("cosine", cos(F.col("qvec"), F.col("cvec")))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 4).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )
+
+
 def embedding_near_dup_pairs(corpus: DataFrame, dim: int, threshold: float = 0.9,
                              n_planes: int = 8, n_bands: int = 12, seed: int = 11,
                              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

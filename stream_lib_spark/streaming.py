@@ -93,6 +93,27 @@ def read_state(state_dir: str):
     return sketch
 
 
+def windowed_streaming_sketch(stream_df: DataFrame, ts_col: str, duration: str,
+                              col: str, spec: SketchSpec,
+                              watermark: str | None = None):
+    """Event-time windowed sketch state: one sketch per tumbling
+    ``duration`` window of ``ts_col``, continuously updated in Update
+    mode.  Late rows are handled by the monoid itself — a late arrival
+    simply merges into its window's sketch; ``watermark`` (e.g.
+    ``'1 hour'``) lets Spark bound state for very late data.
+
+    Composition of native operators: ``window()`` assigns the event-time
+    bucket JVM-side, then the per-key stateful fold
+    (``keyed_streaming_sketch``) carries the sketch as GroupState."""
+    from pyspark.sql import functions as F
+
+    df = stream_df.withWatermark(ts_col, watermark) if watermark else stream_df
+    df = df.withColumn(
+        "window_start", F.window(F.col(ts_col), duration)["start"].cast("string")
+    )
+    return keyed_streaming_sketch(df, ["window_start"], col, spec)
+
+
 def keyed_streaming_sketch(stream_df: DataFrame, keys: list[str], col: str,
                            spec: SketchSpec):
     """Per-key streaming sketch state via ``applyInPandasWithState``:

@@ -74,3 +74,38 @@ def test_keyed_stateful_streaming(spark, dirs, sf_dir):
     for et, row in final.iterrows():
         bound = max(3 * exact[et] * 1.04 / math.sqrt(1 << 12), 1)
         assert abs(row["estimate"] - exact[et]) <= bound, (et, row["estimate"], exact[et])
+
+
+def test_windowed_streaming_sketch(spark, dirs, sf_dir):
+    import math
+
+    from stream_lib_spark.streaming import windowed_streaming_sketch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    path = dirs["input"] + "-windowed"
+    # two files => two micro-batches; the second delivers "late" rows for
+    # every window, which must monoid-merge into existing window state
+    for i in range(2):
+        ev.where(F.pmod("event_id", F.lit(2)) == i).write.mode("append").parquet(path)
+    stream = spark.readStream.schema(
+        spark.read.parquet(path).schema
+    ).option("maxFilesPerTrigger", 1).parquet(path)
+    out = windowed_streaming_sketch(stream, "ts", "6 hours", "user_id",
+                                    SketchSpec("hll", p=12), watermark="1 day")
+    q = (out.writeStream.format("memory").queryName("windowed_sketches")
+         .outputMode("update").option("checkpointLocation", dirs["ckpt"] + "-win")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    pdf = spark.sql("select * from windowed_sketches").toPandas()
+    final = pdf.groupby("window_start").last()
+    exact = dict(
+        ev.groupBy(F.window("ts", "6 hours")["start"].cast("string").alias("w"))
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    )
+    assert set(final.index) == set(exact)
+    for w, row in final.iterrows():
+        bound = max(3 * exact[w] * 1.04 / math.sqrt(1 << 12), 1)
+        assert abs(row["estimate"] - exact[w]) <= bound, (w, row["estimate"], exact[w])

@@ -129,3 +129,32 @@ def test_fingerprint_is_normalization_invariant(spark):
     df = rows_df([(1, "Hello   World"), (2, "hello world"), (3, "other text")])
     fps = [r[0] for r in df.select(doc_fingerprint()).collect()]
     assert fps[0] == fps[1] != fps[2]
+
+
+def test_gram_frequency_cap_bounds_hot_buckets(spark):
+    # 40 docs share two corpus-hot trigrams; one genuine near-dup pair
+    # shares only rare grams.  Uncapped: the hot grams go quadratic
+    # (C(40,2) pairs).  Capped: hot grams leave the JOIN, the true pair
+    # survives, and its jaccard stays EXACT (counts are pre-cap).
+    rows = [(i, f"lorem ipsum dolor unique{i} a b c") for i in range(40)]
+    rows += [(100, "x y z w v u q"), (101, "x y z w v u k")]
+    df = rows_df(rows)
+    uncapped = ngram_jaccard_pairs(df, n=3, threshold=0.1)
+    assert uncapped.count() == 40 * 39 // 2 + 1  # hot-bucket blowup + true pair
+    capped = {(r["id_a"], r["id_b"]): r["jaccard"]
+              for r in ngram_jaccard_pairs(df, n=3, threshold=0.1,
+                                           max_gram_doc_freq=5).collect()}
+    assert set(capped) == {(100, 101)}  # blowup gone, recall on rare-gram pair
+    assert capped[(100, 101)] == round(4 / 6, 4)  # jaccard still exact
+
+
+def test_winnowing_fp_frequency_cap(spark):
+    # 30 identical docs: every fingerprint has doc-frequency 30; capping
+    # at 10 removes them all from the join, bounding the pair count
+    rows = [(i, "the quick brown fox jumps over the lazy dog " * 3) for i in range(30)]
+    rows += [(200, "completely different text about something else entirely here")]
+    df = rows_df(rows)
+    from stream_lib_spark.textops import winnowing_similar_pairs
+
+    assert winnowing_similar_pairs(df, min_shared=5).count() == 30 * 29 // 2
+    assert winnowing_similar_pairs(df, min_shared=5, max_fp_doc_freq=10).count() == 0
