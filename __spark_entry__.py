@@ -579,6 +579,33 @@ def q_lsh_ann_topk(spark, sf_dir):
     )
 
 
+def q_ivf_ann_topk(spark, sf_dir):
+    """IVF (inverted-list) ANN recall gate: ≥2 of the exact top-3 must
+    appear for every query.  Dense probing (14 of 16 lists) because the
+    fixture's embeddings are unclustered; clustered real corpora use
+    n_probe << n_lists for the same recall."""
+    _ship(spark)
+    from stream_lib_spark.similarity import brute_force_topk, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    ivf = ivf_topk(emb, queries, k=3, n_lists=16, n_probe=14)
+    qlist = [(r["vec_id"], list(r["embedding"])) for r in queries.collect()]
+    exact = brute_force_topk(emb, qlist, k=3)
+    hits = (
+        ivf.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    qids = queries.select(F.col("vec_id").alias("query_id"))
+    return (
+        qids.join(hits, "query_id", "left")
+        .select("query_id", (F.coalesce("hits", F.lit(0)) >= 2).alias("recall_ok"))
+        .orderBy("query_id")
+    )
+
+
 def q_winnowing_dup_recall(spark, sf_dir):
     """Winnowing recall gate over planted near-copies: every sufficiently
     long doc_id<30 gets a tail-appended copy; the copy shares almost all
@@ -679,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "simhash_near_dups": q_simhash_near_dups,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "transcript_tool_topk": q_transcript_tool_topk,
         "transcript_latency_quantiles": q_transcript_latency_quantiles,
@@ -889,6 +917,10 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY id_a, id_b"
         ),
         "lsh_ann_topk": (
+            "SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings "
+            "WHERE vec_id < 5 ORDER BY query_id"
+        ),
+        "ivf_ann_topk": (
             "SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings "
             "WHERE vec_id < 5 ORDER BY query_id"
         ),

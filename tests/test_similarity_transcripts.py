@@ -112,3 +112,27 @@ def test_embedding_near_dup_pairs_finds_planted(spark, emb):
     planted = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     found = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(planted, dim=64, threshold=0.95).collect()}
     assert all((1000 + i, 2000 + i) in found for i in range(4))
+
+
+def test_ivf_topk_recall_and_determinism(spark, emb):
+    from stream_lib_spark.similarity import ivf_topk
+
+    pdf = emb.toPandas()
+    qids = list(range(8))
+    queries = emb.where(F.col("vec_id") < 8)
+    got = ivf_topk(emb, queries, k=5, n_lists=16, n_probe=12).collect()
+    exact = _numpy_topk(pdf, qids, 5)
+    hits = sum(
+        len({r["neighbor_id"] for r in got if r["query_id"] == q} & set(exact[q]))
+        for q in qids
+    )
+    # n_probe=12/16 on unclustered vectors: each true neighbor is scored
+    # iff its list is probed (~75% mass) — well above chance, below 1.0
+    assert hits / (5 * len(qids)) >= 0.5
+    # deterministic: same centroids (bottom-k hash sample) on a rerun
+    again = ivf_topk(emb, queries, k=5, n_lists=16, n_probe=12).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]
+    # full probe == exact brute force
+    full = ivf_topk(emb, queries, k=5, n_lists=8, n_probe=8).collect()
+    for q in qids:
+        assert [r["neighbor_id"] for r in full if r["query_id"] == q] == exact[q]
