@@ -387,9 +387,12 @@ def multi_sketch_agg(df: DataFrame, sketches: dict[str, tuple[str, SketchSpec]],
                 # int64 payloads to 53 bits (silent HLL inflation / CMS
                 # scatter / Bloom false negatives).  Ship a non-null
                 # long plus a separate validity mask instead.
-                base = F.xxhash64(c) if mode == "hash" else F.coalesce(c.cast("long"), F.lit(0))
+                if mode == "hash":
+                    base, valid = F.xxhash64(c), c.isNotNull()
+                else:  # ivalue: mask on the CAST (a failed cast is null too)
+                    base, valid = F.coalesce(c.cast("long"), F.lit(0)), c.cast("long").isNotNull()
                 proj.append(base.alias(f"__in_{name}"))
-                proj.append(c.isNotNull().alias(f"__nn_{name}"))
+                proj.append(valid.alias(f"__nn_{name}"))
                 continue
             # Global path reads Arrow buffers directly (nulls dropped
             # before numpy conversion), so the nullable column is safe.
