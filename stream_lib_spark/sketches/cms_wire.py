@@ -1,0 +1,185 @@
+"""Import / merge / query interop for REFERENCE Count-Min Sketch blobs
+(``frequency/CountMinSketch.java:298-341`` wire format), so serialized
+sketches from a JVM stream-lib deployment can be read, distributed-
+merged and queried here — the migration path for existing state.
+
+Unlike our native ``CountMinSketch`` (Kirsch–Mitzenmacher rows from one
+64-bit hash), the reference uses a per-row universal family for long
+keys (``hash = hashA[i]*item; hash += hash >> 32; hash &= 2^31-1;
+(int)hash % width``, ``CountMinSketch.java:166-175``) and double-hashed
+murmur2-32 buckets over UTF-16 bytes for string keys
+(``membership/Filter.java:69-87``).  ``ReferenceCMS`` reproduces both
+EXACTLY (golden-tested against the javac-compiled reference in
+``tests/test_cms_wire.py``), vectorized over numpy:
+
+- murmur2-32 replicates the reference's byte handling quirks: the
+  4-byte blocks are little-endian two's-complement ints (the top byte
+  is sign-carrying — a plain ``view('<i4')``), tail bytes sign-extend,
+  and Java's ``String.getBytes("UTF-16")`` prepends a big-endian BOM;
+- bucket index uses Java's truncating ``%`` (sign follows dividend)
+  then ``Math.abs``;
+- all 32-bit arithmetic wraps (two's complement), helpers below.
+
+Wire format: size i64 | depth i32 | width i32 | per row: hashA i64 then
+width i64 counters — all big-endian (DataOutputStream).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .base import SketchMergeError
+
+_M32 = np.int32(0x5BD1E995)
+
+
+def _wrap32(x: np.ndarray) -> np.ndarray:
+    """int64 → Java int32 two's-complement wrap."""
+    return (x & 0xFFFFFFFF ^ 0x80000000) - 0x80000000
+
+
+def _lsr32(x: np.ndarray, s: int) -> np.ndarray:
+    """Java >>> on int32."""
+    return (x.view(np.uint32) >> np.uint32(s)).view(np.int32)
+
+
+def murmur2_32_fixed(buf: np.ndarray, length: int, seed) -> np.ndarray:
+    """Reference murmur2-32 (``hash/MurmurHash.java:64-110``) over an
+    (n, length) uint8 matrix, vectorized; ``seed`` scalar or (n,) int32."""
+    n = buf.shape[0]
+    with np.errstate(over="ignore"):
+        h = (np.broadcast_to(np.asarray(seed, dtype=np.int32), n).copy()
+             ^ np.int32(length))
+        len4 = length >> 2
+        if len4:
+            blocks = np.ascontiguousarray(buf[:, : 4 * len4]).view("<i4")
+            for j in range(len4):
+                k = blocks[:, j] * _M32
+                k ^= _lsr32(k, 24)
+                k = k * _M32
+                h = h * _M32
+                h = h ^ k
+        left = length - 4 * len4
+        if left:
+            sb = buf.view(np.int8)  # Java bytes are signed; tail sign-extends
+            if left >= 3:
+                h = h ^ (sb[:, length - 3].astype(np.int32) << 16)
+            if left >= 2:
+                h = h ^ (sb[:, length - 2].astype(np.int32) << 8)
+            h = h ^ sb[:, length - 1].astype(np.int32)
+            h = h * _M32
+        h ^= _lsr32(h, 13)
+        h = h * _M32
+        h ^= _lsr32(h, 15)
+    return h
+
+
+def _utf16_bytes(items) -> list[bytes]:
+    # Java's "UTF-16" charset = big-endian BOM + UTF-16BE payload
+    return [b"\xfe\xff" + str(s).encode("utf-16-be") for s in items]
+
+
+def string_hash_buckets(items, depth: int, width: int) -> np.ndarray:
+    """(n, depth) bucket indices — Filter.getHashBuckets semantics."""
+    enc = _utf16_bytes(items)
+    lengths = np.array([len(b) for b in enc], dtype=np.int64)
+    out = np.empty((len(enc), depth), dtype=np.int64)
+    rows = np.arange(depth, dtype=np.int64)
+    enc_arr = np.array(enc, dtype=object)
+    for L in np.unique(lengths):
+        sel = np.nonzero(lengths == L)[0]
+        buf = np.frombuffer(b"".join(enc_arr[sel]), dtype=np.uint8).reshape(len(sel), L)
+        h1 = murmur2_32_fixed(buf, int(L), 0)
+        h2 = murmur2_32_fixed(buf, int(L), h1)
+        v = _wrap32(h1[:, None].astype(np.int64) + rows[None, :] * h2[:, None].astype(np.int64))
+        # Java %: sign follows the dividend, then Math.abs
+        r = np.where(v >= 0, v % width, -((-v) % width))
+        out[sel] = np.abs(r)
+    return out
+
+
+def long_hash_buckets(items: np.ndarray, hash_a: np.ndarray, width: int) -> np.ndarray:
+    """(depth, n) bucket indices — CountMinSketch.hash(long, i) semantics."""
+    with np.errstate(over="ignore"):
+        h = hash_a[:, None] * items.astype(np.int64)[None, :]  # int64 wrap
+        h = h + (h >> np.int64(32))  # arithmetic shift, like Java's >>
+        h = h & np.int64((1 << 31) - 1)
+        return (h % np.int64(width)).astype(np.int64)
+
+
+class ReferenceCMS:
+    """A reference-format CMS: parse, query (exact parity), merge, and
+    re-serialize.  Also supports adding new items with the reference's
+    own hash family, so migrated state can keep absorbing data."""
+
+    def __init__(self, depth: int, width: int, hash_a: np.ndarray,
+                 table: np.ndarray, size: int = 0):
+        self.depth, self.width = depth, width
+        self.hash_a = hash_a.astype(np.int64)
+        self.table = table.astype(np.int64)
+        self.size = size
+
+    # ---------------------------------------------------------------- query
+
+    def estimate_long(self, items: np.ndarray) -> np.ndarray:
+        b = long_hash_buckets(np.asarray(items), self.hash_a, self.width)
+        return self.table[np.arange(self.depth)[:, None], b].min(axis=0)
+
+    def estimate_string(self, items) -> np.ndarray:
+        b = string_hash_buckets(items, self.depth, self.width)  # (n, depth)
+        return self.table[np.arange(self.depth)[None, :], b].min(axis=1)
+
+    # ---------------------------------------------------------------- update
+
+    def add_long(self, items: np.ndarray, counts: np.ndarray) -> "ReferenceCMS":
+        b = long_hash_buckets(np.asarray(items), self.hash_a, self.width)
+        c = np.asarray(counts, dtype=np.int64)
+        for i in range(self.depth):
+            np.add.at(self.table[i], b[i], c)
+        self.size += int(c.sum())
+        return self
+
+    def add_string(self, items, counts: np.ndarray) -> "ReferenceCMS":
+        b = string_hash_buckets(items, self.depth, self.width)
+        c = np.asarray(counts, dtype=np.int64)
+        for i in range(self.depth):
+            np.add.at(self.table[i], b[:, i], c)
+        self.size += int(c.sum())
+        return self
+
+    # ---------------------------------------------------------------- merge
+
+    def merge(self, other: "ReferenceCMS") -> "ReferenceCMS":
+        if (self.depth, self.width) != (other.depth, other.width) or (
+            self.hash_a != other.hash_a
+        ).any():
+            raise SketchMergeError("ReferenceCMS depth/width/seed mismatch")
+        self.table += other.table
+        self.size += other.size
+        return self
+
+    # ---------------------------------------------------------------- bytes
+
+    def to_bytes(self) -> bytes:
+        head = np.array([self.size], dtype=">i8").tobytes()
+        head += np.array([self.depth, self.width], dtype=">i4").tobytes()
+        body = b"".join(
+            np.array([self.hash_a[i]], dtype=">i8").tobytes()
+            + self.table[i].astype(">i8").tobytes()
+            for i in range(self.depth)
+        )
+        return head + body
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "ReferenceCMS":
+        size = int(np.frombuffer(data, dtype=">i8", count=1)[0])
+        depth, width = (int(x) for x in np.frombuffer(data, dtype=">i4", count=2, offset=8))
+        off = 16
+        hash_a = np.empty(depth, dtype=np.int64)
+        table = np.empty((depth, width), dtype=np.int64)
+        for i in range(depth):
+            hash_a[i] = np.frombuffer(data, dtype=">i8", count=1, offset=off)[0]
+            off += 8
+            table[i] = np.frombuffer(data, dtype=">i8", count=width, offset=off)
+            off += 8 * width
+        return cls(depth, width, hash_a, table, size)

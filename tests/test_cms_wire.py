@@ -1,0 +1,79 @@
+"""Reference-CMS interop against golden vectors from the javac-compiled
+reference (tools/golden/cms_wire_golden.csv): each row carries the
+serialized blob plus the reference's own exact point estimates for a
+probe set — parse, query-parity, round-trip, split-merge."""
+
+import base64
+import csv
+import os
+import sys
+
+import numpy as np
+
+csv.field_size_limit(sys.maxsize)  # the dense blob rows exceed the default
+
+from stream_lib_spark.sketches.cms_wire import ReferenceCMS
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "..", "tools", "golden",
+                      "cms_wire_golden.csv")
+
+LONG_PROBES = np.array([i * 2654435761 for i in range(15)] + [999999999999],
+                       dtype=np.int64)
+STR_PROBES = [f"tok-{i}" for i in range(10)] + ["absent-key"]
+
+
+def _rows():
+    with open(GOLDEN) as f:
+        for depth, width, seed, size, ests, b64 in csv.reader(f):
+            yield (int(depth), int(width), int(seed), int(size),
+                   [int(x) for x in ests.split(";")], base64.b64decode(b64))
+
+
+def test_parse_query_parity_and_roundtrip():
+    for depth, width, seed, size, ests, blob in _rows():
+        cms = ReferenceCMS.from_bytes(blob)
+        assert (cms.depth, cms.width, cms.size) == (depth, width, size)
+        got_long = cms.estimate_long(LONG_PROBES[:15])
+        got_str = cms.estimate_string(STR_PROBES[:10])
+        absent_s = cms.estimate_string(["absent-key"])[0]
+        absent_l = cms.estimate_long(LONG_PROBES[15:])[0]
+        expect = ests
+        assert got_long.tolist() == expect[:15]
+        assert got_str.tolist() == expect[15:25]
+        assert absent_s == expect[25] and absent_l == expect[26]
+        assert cms.to_bytes() == blob  # byte-exact round trip
+
+
+def test_rebuild_matches_reference_table():
+    # replay the golden generator's exact input stream with OUR update
+    # path into an empty table (reference hashA from the parsed blob):
+    # the resulting table must be byte-identical to the reference's
+    for depth, width, seed, size, ests, blob in _rows():
+        ref = ReferenceCMS.from_bytes(blob)
+        mine = ReferenceCMS(depth, width, ref.hash_a,
+                            np.zeros((depth, width), dtype=np.int64))
+        i = np.arange(5000, dtype=np.int64)
+        mine.add_long(i * 2654435761, (i % 5) + 1)
+        toks = [f"tok-{int(x) % 700}" for x in i]
+        mine.add_string(toks, np.ones(5000, dtype=np.int64))
+        assert (mine.table == ref.table).all()
+        assert mine.to_bytes() == blob
+
+
+def test_split_merge_equals_whole():
+    depth, width, seed, size, ests, blob = next(_rows())
+    ref = ReferenceCMS.from_bytes(blob)
+    parts = []
+    i = np.arange(5000, dtype=np.int64)
+    for s in range(4):
+        part = ReferenceCMS(ref.depth, ref.width, ref.hash_a,
+                            np.zeros((ref.depth, ref.width), dtype=np.int64))
+        sel = i[s::4]
+        part.add_long(sel * 2654435761, (sel % 5) + 1)
+        part.add_string([f"tok-{int(x) % 700}" for x in sel],
+                        np.ones(len(sel), dtype=np.int64))
+        parts.append(part)
+    merged = parts[0]
+    for p in parts[1:]:
+        merged.merge(p)
+    assert merged.to_bytes() == blob
