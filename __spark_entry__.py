@@ -505,6 +505,79 @@ def q_cms_conservative_event_freq(spark, sf_dir):
     return spark.createDataFrame(rows, "event_type string, exact_cnt long, cons_ok boolean")
 
 
+def q_wire_interop(spark, sf_dir):
+    """Serialized-state migration parity: for every golden vector
+    produced by the javac-compiled REFERENCE implementation
+    (tools/golden/), our codecs must re-serialize byte-identically,
+    reproduce the reference's own query answers, and (HLL++) export
+    byte-identical state for identically-offered items."""
+    _ship(spark)
+    import base64
+    import csv as _csv
+    import sys as _sys
+
+    import numpy as np
+
+    _csv.field_size_limit(_sys.maxsize)
+    gd = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "golden")
+    rows = []
+
+    from stream_lib_spark.hashing import murmur64a_array
+    from stream_lib_spark.sketches.hll import HllPlusPlus
+    from stream_lib_spark.sketches.hll_wire import from_reference_bytes as hll_from
+    from stream_lib_spark.sketches.hll_wire import to_reference_bytes as hll_to
+
+    ok, n = True, 0
+    for p, sp, cnt, _card, b64 in _csv.reader(open(f"{gd}/hllpp_wire_golden.csv")):
+        blob, cnt = base64.b64decode(b64), int(cnt)
+        sk = HllPlusPlus(p=int(p), sp=int(sp))
+        if cnt:
+            items = np.array([f"item-{i}" for i in range(cnt)], dtype=object)
+            sk.update_hashed(murmur64a_array(items).view(np.int64))
+        ok &= hll_to(sk) == blob and hll_to(hll_from(blob)) == blob
+        n += 1
+    rows.append(("hllpp", n, bool(ok)))
+
+    from stream_lib_spark.sketches.cms_wire import ReferenceCMS
+
+    ok, n = True, 0
+    long_probes = np.array([i * 2654435761 for i in range(15)], dtype=np.int64)
+    for _d, _w, _s, _sz, ests, b64 in _csv.reader(open(f"{gd}/cms_wire_golden.csv")):
+        blob = base64.b64decode(b64)
+        cms = ReferenceCMS.from_bytes(blob)
+        expect = [int(x) for x in ests.split(";")]
+        ok &= cms.to_bytes() == blob
+        ok &= cms.estimate_long(long_probes).tolist() == expect[:15]
+        ok &= cms.estimate_string([f"tok-{i}" for i in range(10)]).tolist() == expect[15:25]
+        n += 1
+    rows.append(("cms", n, bool(ok)))
+
+    from stream_lib_spark.sketches.tdigest_wire import from_reference_bytes as td_from
+    from stream_lib_spark.sketches.tdigest_wire import to_reference_bytes as td_to
+
+    ok, n = True, 0
+    for _c, _n, _qs, big_b64, small_b64 in _csv.reader(open(f"{gd}/tdigest_wire_golden.csv")):
+        big, small = base64.b64decode(big_b64), base64.b64decode(small_b64)
+        ok &= td_to(td_from(big)) == big
+        ok &= td_to(td_from(small), small=True) == small
+        n += 1
+    rows.append(("tdigest", n, bool(ok)))
+
+    from stream_lib_spark.sketches.bloom_wire import ReferenceBloom
+
+    ok, n = True, 0
+    probes = [f"key-{i}" for i in range(0, 2000, 100)] + [f"absent-{i}" for i in range(10)]
+    for _ne, _bpe, hashes, want, b64 in _csv.reader(open(f"{gd}/bloom_wire_golden.csv")):
+        blob = base64.b64decode(b64)
+        bf = ReferenceBloom.from_bytes(blob)
+        got = "".join("1" if x else "0" for x in bf.is_present(probes))
+        ok &= bf.hash_count == int(hashes) and got == want and bf.to_bytes() == blob
+        n += 1
+    rows.append(("bloom", n, bool(ok)))
+
+    return spark.createDataFrame(rows, "kind string, n_cases long, all_ok boolean").orderBy("kind")
+
+
 # -------------------------------------------- near-dup / ANN (oracle-checked)
 
 def q_minhash_dedup_pairs(spark, sf_dir):
@@ -692,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cte_users_global": q_cte_users_global,
         "bottomk_partkey_sample": q_bottomk_partkey_sample,
         "cms_conservative_event_freq": q_cms_conservative_event_freq,
+        "wire_interop": q_wire_interop,
         "q1_pricing_summary": q_q1_pricing_summary,
         "sessionization": q_sessionization,
         "exact_dedup_documents": q_exact_dedup_documents,
@@ -829,6 +903,12 @@ def oracle_sql() -> dict[str, str]:
         "cms_conservative_event_freq": (
             "SELECT event_type, COUNT(*) AS exact_cnt, TRUE AS cons_ok "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "wire_interop": (
+            "SELECT * FROM (VALUES ('bloom', CAST(2 AS BIGINT), TRUE), "
+            "('cms', CAST(3 AS BIGINT), TRUE), ('hllpp', CAST(30 AS BIGINT), TRUE), "
+            "('tdigest', CAST(6 AS BIGINT), TRUE)) AS t(kind, n_cases, all_ok) "
+            "ORDER BY kind"
         ),
         "topk_event_types": (
             "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt FROM events "

@@ -1,0 +1,50 @@
+"""Reference BloomFilter interop against javac-compiled goldens:
+parse, exact membership parity with the round-tripped reference filter,
+byte-exact re-serialization, add/merge with the reference hash family."""
+
+import base64
+import csv
+import os
+import sys
+
+import numpy as np
+
+from stream_lib_spark.sketches.bloom_wire import ReferenceBloom
+
+csv.field_size_limit(sys.maxsize)
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "..", "tools", "golden",
+                      "bloom_wire_golden.csv")
+
+
+def _rows():
+    with open(GOLDEN) as f:
+        for n, bpe, hashes, probes, b64 in csv.reader(f):
+            yield int(n), int(hashes), probes, base64.b64decode(b64)
+
+
+PROBES = [f"key-{i}" for i in range(0, 2000, 100)] + [f"absent-{i}" for i in range(10)]
+
+
+def test_parse_membership_parity_roundtrip():
+    for n, hashes, probes, blob in _rows():
+        bf = ReferenceBloom.from_bytes(blob)
+        assert bf.hash_count == hashes
+        got = "".join("1" if x else "0" for x in bf.is_present(PROBES))
+        assert got == probes  # exact parity with the reference's answers
+        assert bf.to_bytes() == blob  # byte-exact round trip
+
+
+def test_add_and_merge_reference_family():
+    n, hashes, probes, blob = next(_rows())
+    bf = ReferenceBloom.from_bytes(blob)
+    # keys added on OUR side must be visible with the reference family
+    extra = [f"extra-{i}" for i in range(50)]
+    bf.add(extra)
+    assert bf.is_present(extra).all()
+    # split-merge == whole (pure OR monoid)
+    empty_words = np.zeros(len(bf.words), dtype=np.int64)
+    a = ReferenceBloom(bf.hash_count, empty_words.copy()).add([f"k{i}" for i in range(0, 100, 2)])
+    b = ReferenceBloom(bf.hash_count, empty_words.copy()).add([f"k{i}" for i in range(1, 100, 2)])
+    whole = ReferenceBloom(bf.hash_count, empty_words.copy()).add([f"k{i}" for i in range(100)])
+    assert a.merge(b).to_bytes() == whole.to_bytes()
