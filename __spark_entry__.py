@@ -10,12 +10,16 @@ oracle for each.  Two oracle styles:
   (distributed, exact) and the sketch estimate, and emits the exact
   value plus a ``*_ok`` boolean asserting the estimate is inside the
   reference's published bound (HLL ±3σ @ 1.04/√2^p; CMS ε·N @ δ;
-  t-digest/KLL rank error).  The oracle returns the same exact value
-  and TRUE — so a sketch drifting out of contract fails the value-hash
-  gate, not just a soft check.
+  t-digest/KLL rank error; QDigest log2σ/k rank window).  The oracle
+  returns the same exact value and TRUE — so a sketch drifting out of
+  contract fails the value-hash gate, not just a soft check.
 
-Non-SQL-expressible ops (MinHash-LSH, SimHash, LSH-ANN, multimodal,
-transcript sketches) have no oracle entry → rows-only check.
+Round 2: EVERY entry is oracle-checked — the near-dup/ANN family runs
+as recall gates over SQL-enumerable ground truth (exact Jaccard /
+brute-force SimHash via a SQL-portable md5 word hash / planted
+near-duplicates / exact top-k), multimodal features are bit-exact
+integer-sum doubles DuckDB re-derives, and the wire-interop gate
+replays golden vectors from the javac-compiled reference.
 """
 
 from __future__ import annotations

@@ -87,8 +87,11 @@ class SketchSpec:
     """Declarative sketch constructor shipped to executors (picklable;
     equivalent of the reference's IBuilder, ``util/IBuilder.java``).
 
-    kind: 'hll' | 'cms' | 'tdigest' | 'kll' | 'bloom' | 'spacesaving'
-    input: 'hash' (64-bit hash of item), 'value' (float64), 'item' (raw)
+    kind: 'hll' | 'cms' | 'tdigest' | 'kll' | 'qdigest' | 'bloom' |
+          'spacesaving' | 'linearcounting' | 'loglog' |
+          'countthenestimate' | 'bottomk'
+    input: 'hash' (64-bit hash of item) | 'value' (float64) |
+           'ivalue' (non-negative int64) | 'item' (raw string)
     """
 
     _FACTORIES = {
