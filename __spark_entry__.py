@@ -248,6 +248,49 @@ def q_heavy_hitters_partkey(spark, sf_dir):
     return exact.orderBy("l_partkey")
 
 
+def q_keyed_topk_users(spark, sf_dir):
+    """KEYED Space-Saving gate (groupBy → applyInPandas explode path):
+    top-3 users per event_type; capacity exceeds the user domain (150 at
+    sf0.01), so the summary is exact and fully value-checked."""
+    _ship(spark)
+    from stream_lib_spark.functions import approx_topk
+
+    ev = _t(spark, sf_dir, "events")
+    out = approx_topk(ev, "user_id", k=3, capacity=4096, keys=["event_type"])
+    return (
+        out.select("event_type", F.col("item").cast("long").alias("user_id"),
+                   F.col("count").alias("cnt"), "rank")
+        .orderBy("event_type", "rank")
+    )
+
+
+def q_keyed_quantiles_by_type(spark, sf_dir):
+    """KEYED t-digest gate (quantile_udf over the distributed state
+    column): per-event-type p50 of value, each estimate's exact
+    within-group rank inside the reference bound."""
+    _ship(spark)
+    from stream_lib_spark.functions import approx_quantiles
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    qdf = approx_quantiles(ev, "value", [0.5], keys=["event_type"])
+    ests = {r["event_type"]: r["q_0_5"] for r in qdf.collect()}
+    est_col = F.coalesce(
+        *[F.when(F.col("event_type") == et, F.lit(v)) for et, v in ests.items()]
+    )
+    ranked = (
+        ev.withColumn("le", (F.col("value") <= est_col).cast("long"))
+        .groupBy("event_type")
+        .agg((F.sum("le") / F.count("*")).alias("rank"), F.count("*").alias("n"))
+    )
+    return (
+        ranked.select(
+            "event_type", "n",
+            (F.abs(F.col("rank") - 0.5) <= 0.012).alias("within_bound"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_q1_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -706,6 +749,18 @@ def q_winnowing_dup_recall(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering gate: connected components (iterative
+    min-label propagation) over the exact 3-gram-Jaccard pair edges →
+    (doc_id, canonical_id); the oracle recomputes components with a
+    recursive transitive-closure CTE."""
+    _ship(spark)
+    from stream_lib_spark.textops import near_dup_clusters, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.8)
+    return near_dup_clusters(pairs).orderBy("doc_id")
+
+
 def q_transcript_tool_topk(spark, sf_dir):
     """Space-Saving tool top-k over the derived transcript view; the
     tool domain (7 values) is far below capacity, so the summary is
@@ -770,6 +825,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bottomk_partkey_sample": q_bottomk_partkey_sample,
         "cms_conservative_event_freq": q_cms_conservative_event_freq,
         "wire_interop": q_wire_interop,
+        "keyed_topk_users": q_keyed_topk_users,
+        "keyed_quantiles_by_type": q_keyed_quantiles_by_type,
         "q1_pricing_summary": q_q1_pricing_summary,
         "sessionization": q_sessionization,
         "exact_dedup_documents": q_exact_dedup_documents,
@@ -782,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_dup_recall": q_winnowing_dup_recall,
         "ann_topk": q_ann_topk,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "simhash_near_dups": q_simhash_near_dups,
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
@@ -924,6 +982,21 @@ def oracle_sql() -> dict[str, str]:
             "HAVING COUNT(*) >= (SELECT CAST(FLOOR(COUNT(*) * 0.00075) + 1 AS BIGINT) FROM lineitem) "
             "ORDER BY l_partkey"
         ),
+        "keyed_topk_users": (
+            "WITH c AS ("
+            "  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS cnt "
+            "  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2"
+            "), r AS ("
+            "  SELECT event_type, user_id, cnt, CAST(ROW_NUMBER() OVER ("
+            "    PARTITION BY event_type ORDER BY cnt DESC, CAST(user_id AS VARCHAR) ASC"
+            "  ) AS INT) AS rank FROM c"
+            ") SELECT event_type, user_id, cnt, rank FROM r WHERE rank <= 3 "
+            "ORDER BY event_type, rank"
+        ),
+        "keyed_quantiles_by_type": (
+            "SELECT event_type, COUNT(*) AS n, TRUE AS within_bound "
+            "FROM events WHERE value IS NOT NULL GROUP BY event_type ORDER BY event_type"
+        ),
         "q1_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "
             "CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, "
@@ -990,6 +1063,29 @@ def oracle_sql() -> dict[str, str]:
             "WHERE CAST(ni AS DOUBLE) / (ca.g + cb.g - ni) >= 0.9 ORDER BY id_a, id_b"
         ),
         "simhash_near_dups": _simhash_oracle_sql(),
+        "dedup_clusters": (
+            "WITH RECURSIVE toks AS ("
+            "  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents"
+            "), exploded AS ("
+            "  SELECT doc_id, unnest([array_to_string(w[i : i + 2], ' ') "
+            "    for i in generate_series(1, greatest(len(w) - 2, 1))]) AS gram FROM toks"
+            "), grams AS (SELECT DISTINCT doc_id, gram FROM exploded"
+            "), cnt AS (SELECT doc_id, COUNT(*) AS g FROM grams GROUP BY doc_id), "
+            "inter AS ("
+            "  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni "
+            "  FROM grams a JOIN grams b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2"
+            "), p AS ("
+            "  SELECT id_a AS a, id_b AS b "
+            "  FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b "
+            "  WHERE CAST(ni AS DOUBLE) / (ca.g + cb.g - ni) >= 0.8"
+            "), e AS (SELECT a, b FROM p UNION SELECT b, a FROM p), "
+            "closure(a, b) AS ("
+            "  SELECT a, b FROM e "
+            "  UNION "
+            "  SELECT c.a, e2.b FROM closure c JOIN e e2 ON c.b = e2.a"
+            ") SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical_id "
+            "FROM closure GROUP BY a ORDER BY doc_id"
+        ),
         "embedding_near_dups": (
             "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "
             "planted AS (SELECT vec_id + 1000000 AS vec_id, "

@@ -507,6 +507,48 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     )
 
 
+def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                      max_iters: int = 50) -> DataFrame:
+    """Connected components over near-duplicate pair edges →
+    (doc_id, canonical_id): every document's label converges to the
+    SMALLEST id reachable through the pair graph, i.e. the cluster's
+    deterministic keep-first representative — the step that turns pair
+    detection into an actual dedup decision.
+
+    Scale shape: the standard iterative CC-on-Spark loop — per round one
+    equi-join + groupBy-min, O(graph diameter) rounds (near-dup clusters
+    are shallow in practice); ``localCheckpoint`` cuts lineage growth so
+    the plan stays constant-size across iterations.  Deterministic: min
+    is order-insensitive."""
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("a").alias("node")).distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nb_min = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("lbl").alias("nb_min"))
+        )
+        updated = (
+            labels.join(nb_min, labels["node"] == nb_min["a"], "left")
+            .select(
+                "node", "lbl",
+                F.least(F.col("lbl"), F.coalesce("nb_min", F.col("lbl"))).alias("new_lbl"),
+            )
+        ).localCheckpoint()
+        changed = updated.where(F.col("new_lbl") < F.col("lbl")).count()
+        labels = updated.select("node", F.col("new_lbl").alias("lbl"))
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("canonical_id"))
+
+
 # ------------------------------------------------------------- tokenization
 
 # BPE-ish pre-tokenizer pattern (GPT-2-style word/number/punct splits,

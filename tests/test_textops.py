@@ -158,3 +158,19 @@ def test_winnowing_fp_frequency_cap(spark):
 
     assert winnowing_similar_pairs(df, min_shared=5).count() == 30 * 29 // 2
     assert winnowing_similar_pairs(df, min_shared=5, max_fp_doc_freq=10).count() == 0
+
+
+def test_near_dup_clusters_components(spark):
+    from stream_lib_spark.textops import near_dup_clusters
+
+    # chain 1-2-3-4, triangle 10-11-12 (+ redundant edge), pair 20-21
+    pairs = _spark_holder["s"].createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    got = {r["doc_id"]: r["canonical_id"] for r in near_dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    # deterministic under repartitioning
+    got2 = {r["doc_id"]: r["canonical_id"]
+            for r in near_dup_clusters(pairs.repartition(7)).collect()}
+    assert got2 == got
