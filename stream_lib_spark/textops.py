@@ -217,6 +217,16 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
 _PERM_CHUNK = 1 << 17
 
 
+
+def _materialize_once(df: DataFrame) -> DataFrame:
+    """Truncate lineage so a Python-kernel subtree referenced on BOTH
+    sides of a self-join is computed once (Spark re-executes shared
+    subplans unless an exchange is reused; the eager storage cost is one
+    small (id, signature) table, not the corpus).  localCheckpoint
+    blocks live in executor storage and are released with the RDD."""
+    return df.localCheckpoint(eager=False)
+
+
 def minhash_signatures(docs: DataFrame, num_hashes: int = 64, shingle: int = 5,
                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, signature array<long>) — MinHash over word-shingle sets.
@@ -272,7 +282,7 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
     (band_idx, band_hash) — co-hashed buckets, no cross product; Spark
     shuffles only (doc, band) rows, never pairs outside shared buckets.
     """
-    sigs = minhash_signatures(docs, num_hashes, shingle, id_col, text_col)
+    sigs = _materialize_once(minhash_signatures(docs, num_hashes, shingle, id_col, text_col))
     rows_per_band = num_hashes // bands
     banded = sigs.select(
         id_col,
@@ -323,7 +333,7 @@ def minhash_verified_pairs(docs: DataFrame, threshold: float = 0.9,
     output row.  With r = num_hashes/bands rows per band the miss
     probability at similarity s is (1-s^r)^bands; at the defaults
     (r=2, 32 bands, s ≥ 0.9) it is < 1e-15."""
-    sigs = minhash_signatures(docs, num_hashes, shingle, id_col, text_col)
+    sigs = _materialize_once(minhash_signatures(docs, num_hashes, shingle, id_col, text_col))
     rows_per_band = num_hashes // bands
     banded = sigs.select(
         id_col,
@@ -406,7 +416,7 @@ def simhash_near_dups(docs: DataFrame, hamming_max: int = 3,
     4-block pigeonhole trick: any pair within distance 3 agrees on at
     least one of four 16-bit blocks → block-equality self-join buckets
     candidates, exact popcount verifies (no cross product)."""
-    sh = simhash64(docs, id_col, text_col, word_hash)
+    sh = _materialize_once(simhash64(docs, id_col, text_col, word_hash))
     blocks = sh.select(
         id_col,
         "simhash",
