@@ -109,6 +109,39 @@ def q_hll_orders_global(spark, sf_dir):
     return spark.createDataFrame([(exact, bool(ok))], "exact_orders long, hll_ok boolean")
 
 
+def q_hll_classic_global(spark, sf_dir):
+    """Classic-HLL estimator gate (alphaMM raw + linear-counting
+    small-range correction, HyperLogLog.java:174-194 semantics)."""
+    _ship(spark)
+    from stream_lib_spark.agg import SketchSpec, collect_sketch, sketch_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = 12
+    sk = collect_sketch(
+        sketch_agg(li, [], "l_orderkey", SketchSpec("hll", p=p, sp=0, estimator="classic"))
+    )
+    exact = li.select("l_orderkey").distinct().count()
+    ok = abs(sk.cardinality() - exact) <= max(3.0 * 1.04 / math.sqrt(1 << p) * exact, 2.0)
+    return spark.createDataFrame([(exact, bool(ok))], "exact_orders long, classic_ok boolean")
+
+
+def q_hll_murmur_parity_global(spark, sf_dir):
+    """murmur64 hash-mode gate: items hashed with the reference's
+    MurmurHash64A INSIDE the Python workers (Arrow-buffer kernel) — the
+    bit-parity path — must estimate within the same bound."""
+    _ship(spark)
+    from stream_lib_spark.agg import SketchSpec, collect_sketch, sketch_agg
+
+    ev = _t(spark, sf_dir, "events")
+    p = 13
+    sk = collect_sketch(
+        sketch_agg(ev, [], "user_id", SketchSpec("hll", p=p), hash_mode="murmur64")
+    )
+    exact = ev.select("user_id").distinct().count()
+    ok = abs(sk.cardinality() - exact) <= max(3.0 * 1.04 / math.sqrt(1 << p) * exact, 2.0)
+    return spark.createDataFrame([(exact, bool(ok))], "exact_users long, murmur_ok boolean")
+
+
 def q_cms_event_freq(spark, sf_dir):
     _ship(spark)
     from stream_lib_spark.agg import SketchSpec, collect_sketch, sketch_agg
@@ -811,6 +844,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_convs": q_transcript_convs,
         "transcript_latency": q_transcript_latency,
         "hll_orders_global": q_hll_orders_global,
+        "hll_classic_global": q_hll_classic_global,
+        "hll_murmur_parity_global": q_hll_murmur_parity_global,
         "cms_event_freq": q_cms_event_freq,
         "tdigest_value_quantiles": q_tdigest_value_quantiles,
         "kll_price_quantiles": q_kll_price_quantiles,
@@ -929,6 +964,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hll_orders_global": (
             "SELECT COUNT(DISTINCT l_orderkey) AS exact_orders, TRUE AS hll_ok FROM lineitem"
+        ),
+        "hll_classic_global": (
+            "SELECT COUNT(DISTINCT l_orderkey) AS exact_orders, TRUE AS classic_ok FROM lineitem"
+        ),
+        "hll_murmur_parity_global": (
+            "SELECT COUNT(DISTINCT user_id) AS exact_users, TRUE AS murmur_ok FROM events"
         ),
         "cms_event_freq": (
             "SELECT event_type, COUNT(*) AS exact_cnt, TRUE AS cms_ok "

@@ -103,3 +103,30 @@ def test_snapshot_isolation_and_resume(spark, ckpt_dir, sf_dir, tmp_path):
     assert snap2 != snap
     assert read_snapshot(spark, table, snap2).count() == ev.count()
     assert set(list_snapshots(table)) == {snap, snap2}
+
+
+def test_qdigest_checkpoint_resume_byte_identical(spark, tmp_path):
+    # ivalue-mode sketch through the lineage-bucket checkpoint path:
+    # killed-and-resumed run == uninterrupted run, byte for byte
+    from pyspark.sql import functions as F
+
+    from stream_lib_spark.agg import SketchSpec
+    from stream_lib_spark.jobs.checkpoint import CheckpointedSketchJob
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    cents = li.select((F.col("l_extendedprice") * 100).cast("long").alias("cents"))
+
+    def job(snap):
+        return CheckpointedSketchJob(
+            spark=spark, spec=SketchSpec("qdigest", compression_factor=512),
+            col="cents", n_buckets=8, checkpoint_dir=str(tmp_path),
+            snapshot_id=snap, bucket_cols=["cents"],
+        )
+
+    a = job("qd-interrupted")
+    a.build_partials(cents, max_buckets=3)  # "killed" partway
+    a.build_partials(cents)                 # resume
+    interrupted = bytes(a.final_merge().collect()[0]["sketch"])
+    b = job("qd-clean")
+    clean = bytes(b.run(cents).collect()[0]["sketch"])
+    assert interrupted == clean
