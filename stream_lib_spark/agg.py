@@ -128,8 +128,11 @@ class SketchSpec:
         elif mode == "value":
             sk.add_values(arr)
         elif mode == "ivalue":  # non-negative ints folded as exact counts
-            u, c = np.unique(arr.astype(np.int64, copy=False), return_counts=True)
-            sk.update_batch(u, c)
+            if counts is not None:
+                sk.update_batch(arr.astype(np.int64, copy=False), counts)
+            else:
+                u, c = np.unique(arr.astype(np.int64, copy=False), return_counts=True)
+                sk.update_batch(u, c)
         else:  # item: arr = items, counts = exact in-batch frequencies
             sk.update_batch(arr, counts if counts is not None else np.ones(len(arr), dtype=np.int64))
         return sk
@@ -152,7 +155,10 @@ def _prepare_input(df: DataFrame, keys: list[str], col: str, spec: SketchSpec,
     if mode == "value":
         return df.select(*kc, F.col(col).cast("double").alias("__in")), False
     if mode == "ivalue":
-        return df.select(*kc, F.col(col).cast("long").alias("__in")), False
+        # mask on the CAST: a failed long cast is null too, and a null in
+        # a keyed batch would flip the pandas column to float64
+        cast_col = F.col(col).try_cast("long")  # ANSI-safe: malformed → null
+        return df.where(cast_col.isNotNull()).select(*kc, cast_col.alias("__in")), False
     return df.select(*kc, F.col(col).cast("string").alias("__in")), False
 
 
@@ -383,7 +389,9 @@ def multi_sketch_agg(df: DataFrame, sketches: dict[str, tuple[str, SketchSpec]],
         mode = spec.input_mode
         modes[name] = mode
         c = F.col(col)
-        if mode in ("hash", "ivalue") and not python_hash:
+        if mode == "ivalue" or (mode == "hash" and not python_hash):
+            # ivalue takes this path regardless of hash_mode — values
+            # ARE the input, they are never murmur-hashed
             if keys:
                 # Keyed path: NEVER ship a nullable long — a single null
                 # in a batch turns the pandas column float64 and rounds
@@ -393,13 +401,14 @@ def multi_sketch_agg(df: DataFrame, sketches: dict[str, tuple[str, SketchSpec]],
                 if mode == "hash":
                     base, valid = F.xxhash64(c), c.isNotNull()
                 else:  # ivalue: mask on the CAST (a failed cast is null too)
-                    base, valid = F.coalesce(c.cast("long"), F.lit(0)), c.cast("long").isNotNull()
+                    tc = c.try_cast("long")
+                    base, valid = F.coalesce(tc, F.lit(0)), tc.isNotNull()
                 proj.append(base.alias(f"__in_{name}"))
                 proj.append(valid.alias(f"__nn_{name}"))
                 continue
             # Global path reads Arrow buffers directly (nulls dropped
             # before numpy conversion), so the nullable column is safe.
-            expr = F.when(c.isNotNull(), F.xxhash64(c)) if mode == "hash" else c.cast("long")
+            expr = F.when(c.isNotNull(), F.xxhash64(c)) if mode == "hash" else c.try_cast("long")
         elif mode == "hash":
             expr = c.cast("string")
         elif mode == "value":
@@ -429,7 +438,7 @@ def multi_sketch_agg(df: DataFrame, sketches: dict[str, tuple[str, SketchSpec]],
                 group = states[key] = {n: specs[n].new() for n in names}
             for n in names:
                 col_in = sub[f"__in_{n}"]
-                if modes[n] in ("hash", "ivalue") and not python_hash:
+                if modes[n] == "ivalue" or (modes[n] == "hash" and not python_hash):
                     # non-null int64 column + separate validity mask —
                     # the dtype stays int64 even when nulls were present
                     valid = sub[f"__nn_{n}"].to_numpy()

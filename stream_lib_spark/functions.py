@@ -110,14 +110,29 @@ def bloom_build(df: DataFrame, col: str, n_elements: int, fpp: float = 0.01, **k
     )
 
 
+_bloom_bcasts: dict = {}  # (app_id, blob_sha) -> Broadcast, see bloom_probe
+
+
 def bloom_probe(bf, df: DataFrame, col: str) -> DataFrame:
     """Probe a DataFrame column against a driver-side Bloom filter →
     adds boolean ``might_contain`` (JVM-side xxhash64 + Arrow batch probe).
 
     The filter blob ships via ``SparkContext.broadcast`` — once per
     executor, torrent-distributed — NOT in the UDF closure, which would
-    re-serialize it with every task (a 20M-element filter is ~24 MB)."""
-    bc = df.sparkSession.sparkContext.broadcast(bf.to_bytes())
+    re-serialize it with every task (a 20M-element filter is ~24 MB).
+    Broadcasts are cached per (app, filter-content) so repeated probes
+    of the same filter reuse one broadcast; they live for the app's
+    lifetime because the returned DataFrame is lazy (an eager destroy
+    would break later executions).  Long-lived apps cycling through many
+    DISTINCT filters should call ``bloom_probe.clear_cache(destroy=True)``
+    between generations once prior results are materialized."""
+    import hashlib
+
+    blob = bf.to_bytes()
+    key = (df.sparkSession.sparkContext.applicationId, hashlib.sha256(blob).hexdigest())
+    bc = _bloom_bcasts.get(key)
+    if bc is None:
+        bc = _bloom_bcasts[key] = df.sparkSession.sparkContext.broadcast(blob)
 
     @F.pandas_udf(T.BooleanType())
     def probe(h: pd.Series) -> pd.Series:
@@ -129,3 +144,20 @@ def bloom_probe(bf, df: DataFrame, col: str) -> DataFrame:
         return pd.Series(filt.contains_hashed(h.to_numpy().astype(np.int64)))
 
     return df.withColumn("might_contain", probe(F.xxhash64(F.col(col))))
+
+
+def _bloom_clear_cache(destroy: bool = False) -> int:
+    """Drop (and optionally destroy on executors) all cached Bloom
+    broadcasts.  Only call destroy=True after every DataFrame returned
+    by bloom_probe has been fully materialized."""
+    n = len(_bloom_bcasts)
+    for bc in _bloom_bcasts.values():
+        if destroy:
+            bc.destroy()
+        else:
+            bc.unpersist()
+    _bloom_bcasts.clear()
+    return n
+
+
+bloom_probe.clear_cache = _bloom_clear_cache

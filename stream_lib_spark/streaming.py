@@ -97,21 +97,92 @@ def windowed_streaming_sketch(stream_df: DataFrame, ts_col: str, duration: str,
                               col: str, spec: SketchSpec,
                               watermark: str | None = None):
     """Event-time windowed sketch state: one sketch per tumbling
-    ``duration`` window of ``ts_col``, continuously updated in Update
-    mode.  Late rows are handled by the monoid itself — a late arrival
-    simply merges into its window's sketch; ``watermark`` (e.g.
-    ``'1 hour'``) lets Spark bound state for very late data.
+    ``duration`` window of ``ts_col``, updated in Update mode.  Late
+    rows are handled by the monoid itself — a late arrival simply
+    merges into its window's sketch.
 
-    Composition of native operators: ``window()`` assigns the event-time
-    bucket JVM-side, then the per-key stateful fold
-    (``keyed_streaming_sketch``) carries the sketch as GroupState."""
+    Without ``watermark`` this composes ``window()`` with the per-key
+    stateful fold and window state lives FOREVER (only suitable for
+    bounded window domains).  With ``watermark`` (e.g. ``'1 hour'``)
+    the fold runs under an EVENT-TIME TIMEOUT: once the watermark
+    passes a window's end (no more rows can arrive — the operator drops
+    later ones), the window emits a final row (``is_final=true``) and
+    its GroupState is REMOVED, so state size tracks the number of OPEN
+    windows, not stream lifetime."""
+    import pandas as pd
     from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    df = stream_df.withWatermark(ts_col, watermark) if watermark else stream_df
-    df = df.withColumn(
-        "window_start", F.window(F.col(ts_col), duration)["start"].cast("string")
+    if watermark is None:
+        df = stream_df.withColumn(
+            "window_start", F.window(F.col(ts_col), duration)["start"].cast("string")
+        )
+        return keyed_streaming_sketch(df, ["window_start"], col, spec)
+
+    mode = spec.input_mode
+    c = F.col(col)
+    if mode == "hash":
+        in_col = F.xxhash64(c).alias("__in")
+    elif mode == "value":
+        in_col = c.cast("double").alias("__in")
+    elif mode == "ivalue":
+        c = c.try_cast("long")
+        in_col = c.alias("__in")
+    else:
+        in_col = c.cast("string").alias("__in")
+    win = F.window(F.col(ts_col), duration)
+    prepared = (
+        stream_df.withWatermark(ts_col, watermark)
+        .where(c.isNotNull())
+        .select(
+            F.col(ts_col),  # keep the watermarked attribute in the plan
+            win["start"].cast("string").alias("window_start"),
+            win["end"].alias("__wend"),
+            in_col,
+        )
     )
-    return keyed_streaming_sketch(df, ["window_start"], col, spec)
+
+    out_schema = "window_start string, sketch binary, estimate double, is_final boolean"
+
+    def fold(key, pdfs, state: GroupState):
+        import numpy as np
+
+        if state.hasTimedOut:
+            # watermark passed window end: finalize and EVICT
+            blob = bytes(state.get[0])
+            state.remove()
+            sk = sketch_from_bytes(blob)
+            est = float(sk.cardinality()) if hasattr(sk, "cardinality") else float("nan")
+            yield pd.DataFrame({"window_start": [key[0]], "sketch": [blob],
+                                "estimate": [est], "is_final": [True]})
+            return
+        sk = sketch_from_bytes(bytes(state.get[0])) if state.exists else spec.new()
+        wend_ms = None
+        for pdf in pdfs:
+            if wend_ms is None and len(pdf):
+                wend_ms = int(pd.Timestamp(pdf["__wend"].iloc[0]).value // 1_000_000)
+            arr = pdf["__in"].dropna()
+            if len(arr) == 0:
+                continue
+            if mode in ("hash", "ivalue"):
+                spec.update(sk, arr.to_numpy().astype(np.int64, copy=False))
+            elif mode == "value":
+                spec.update(sk, arr.to_numpy().astype(np.float64, copy=False))
+            else:
+                vc = arr.value_counts()
+                spec.update(sk, vc.index.to_numpy(), vc.to_numpy())
+        state.update((sk.to_bytes(),))
+        if wend_ms is not None:
+            # evict when the watermark passes the window end (must stay
+            # strictly ahead of the current watermark)
+            state.setTimeoutTimestamp(max(wend_ms, state.getCurrentWatermarkMs() + 1))
+        est = float(sk.cardinality()) if hasattr(sk, "cardinality") else float("nan")
+        yield pd.DataFrame({"window_start": [key[0]], "sketch": [sk.to_bytes()],
+                            "estimate": [est], "is_final": [False]})
+
+    return prepared.groupBy("window_start").applyInPandasWithState(
+        fold, out_schema, "blob binary", "Update", GroupStateTimeout.EventTimeTimeout
+    )
 
 
 def keyed_streaming_sketch(stream_df: DataFrame, keys: list[str], col: str,
@@ -137,7 +208,8 @@ def keyed_streaming_sketch(stream_df: DataFrame, keys: list[str], col: str,
     elif mode == "value":
         in_col = c.cast("double").alias("__in")
     elif mode == "ivalue":
-        in_col = c.cast("long").alias("__in")
+        c = c.try_cast("long")  # ANSI-safe; filter below masks failed casts
+        in_col = c.alias("__in")
     else:
         in_col = c.cast("string").alias("__in")
     # offer(null) is a no-op — and filtering BEFORE the stateful operator

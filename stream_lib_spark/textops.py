@@ -489,22 +489,41 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
                         max_gram_doc_freq: int | None = None) -> DataFrame:
     """Exact word n-gram Jaccard over candidate pairs sharing at least
     one n-gram (explode→co-group join; SQL-expressible for the oracle).
-    Quadratic only within shared-shingle buckets; pass
-    ``max_gram_doc_freq`` to drop hot grams from the JOIN (candidate
-    generation) while keeping the per-doc gram counts — and thus the
-    Jaccard values — exact."""
+    Quadratic only within shared-shingle buckets.
+
+    ``max_gram_doc_freq`` bounds the hot-gram blowup: candidate PAIRS
+    come from the capped-gram join, but intersections are then recounted
+    over the UNCAPPED grams restricted to those candidates, so every
+    reported Jaccard stays exact — a pair is only lost if ALL of its
+    shared grams are corpus-hot."""
     grams = _word_ngrams(docs, n, id_col, text_col)
     counts = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
-    if max_gram_doc_freq is not None:
-        grams = cap_doc_frequency(grams, "gram", max_gram_doc_freq)
-    a = grams.withColumnRenamed(id_col, "id_a")
-    b = grams.withColumnRenamed(id_col, "id_b")
-    inter = (
-        a.join(b.hint("shuffle_hash"), "gram")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
+    ga = grams.withColumnRenamed(id_col, "id_a")
+    gb = grams.withColumnRenamed(id_col, "id_b")
+    if max_gram_doc_freq is None:
+        inter = (
+            ga.join(gb.hint("shuffle_hash"), "gram")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        capped = cap_doc_frequency(grams, "gram", max_gram_doc_freq)
+        cap_a = capped.withColumnRenamed(id_col, "id_a")
+        cap_b = capped.withColumnRenamed(id_col, "id_b")
+        cand = (
+            cap_a.join(cap_b.hint("shuffle_hash"), "gram")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates()
+        )
+        # exact recount over the uncapped grams, candidate-restricted
+        inter = (
+            cand.join(ga, "id_a")
+            .join(gb, ["id_b", "gram"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
     ca = counts.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_grams", "ga")
     cb = counts.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_grams", "gb")
     return (
@@ -556,6 +575,11 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         labels = updated.select("node", F.col("new_lbl").alias("lbl"))
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"near_dup_clusters did not converge in {max_iters} iterations "
+            "(component diameter exceeds max_iters) — raise max_iters"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("canonical_id"))
 
 

@@ -106,3 +106,40 @@ def test_spark_qdigest_agg(spark):
         lo = np.searchsorted(vals, v, side="left") / len(vals)
         hi = np.searchsorted(vals, v, side="right") / len(vals)
         assert lo - eps <= q <= hi + eps
+
+
+def test_ivalue_counts_survive_murmur_mode_and_keyed_multi(spark):
+    # regression: ivalue batches must fold EXACT frequencies, not the
+    # distinct-value set, in every path (incl. hash_mode='murmur64')
+    from pyspark.sql import functions as F
+
+    from stream_lib_spark.agg import (
+        SketchSpec, collect_sketch, multi_sketch_agg, sketch_agg, sketch_from_bytes,
+    )
+
+    df = spark.range(3000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 7).alias("v"),
+    ).repartition(4)
+    spec = SketchSpec("qdigest", compression_factor=256)
+    for hm in ("xxhash64", "murmur64"):
+        rows = multi_sketch_agg(df, {"q": ("v", spec)}, keys=["g"], hash_mode=hm).collect()
+        for r in rows:
+            sk = sketch_from_bytes(bytes(r["q"]))
+            assert sk.n == 1000, (hm, r["g"], sk.n)  # weight = rows, not distincts
+        glob = multi_sketch_agg(df, {"q": ("v", spec)}, hash_mode=hm).collect()[0]
+        assert sketch_from_bytes(bytes(glob["q"])).n == 3000
+    sk = collect_sketch(sketch_agg(df, [], "v", spec))
+    assert sk.n == 3000 and sk.quantile(0.5) in (2.0, 3.0)
+
+
+def test_ivalue_failed_cast_is_skipped(spark):
+    from pyspark.sql import functions as F
+
+    from stream_lib_spark.agg import SketchSpec, collect_sketch, sketch_agg
+
+    df = spark.createDataFrame(
+        [("1",), ("2",), ("notanumber",), (None,), ("3",)], ["s"]
+    )
+    sk = collect_sketch(sketch_agg(df, [], "s", SketchSpec("qdigest", compression_factor=64)))
+    assert sk.n == 3  # only the three castable rows counted

@@ -99,6 +99,7 @@ def test_windowed_streaming_sketch(spark, dirs, sf_dir):
          .trigger(availableNow=True).start())
     q.awaitTermination(180)
     pdf = spark.sql("select * from windowed_sketches").toPandas()
+    assert "is_final" in pdf.columns
     final = pdf.groupby("window_start").last()
     exact = dict(
         ev.groupBy(F.window("ts", "6 hours")["start"].cast("string").alias("w"))
@@ -109,3 +110,37 @@ def test_windowed_streaming_sketch(spark, dirs, sf_dir):
     for w, row in final.iterrows():
         bound = max(3 * exact[w] * 1.04 / math.sqrt(1 << 12), 1)
         assert abs(row["estimate"] - exact[w]) <= bound, (w, row["estimate"], exact[w])
+
+
+def test_windowed_state_eviction(spark, dirs):
+    """With a watermark, windows whose end falls behind the watermark
+    emit a final row and their state is evicted (event-time timeout)."""
+    import pandas as pd
+
+    from stream_lib_spark.streaming import windowed_streaming_sketch
+
+    path = dirs["input"] + "-evict"
+    old = spark.createDataFrame(pd.DataFrame({
+        "ts": pd.to_datetime(["2026-01-01 00:10", "2026-01-01 00:20"] * 5),
+        "uid": list(range(10)),
+    }))
+    new = spark.createDataFrame(pd.DataFrame({
+        "ts": pd.to_datetime(["2026-01-03 00:10", "2026-01-03 00:40"] * 3),
+        "uid": list(range(6)),
+    }))
+    old.write.parquet(path)           # batch 1: one old window
+    new.write.mode("append").parquet(path)  # batch 2 jumps the watermark 2 days
+    stream = spark.readStream.schema(old.schema).option("maxFilesPerTrigger", 1).parquet(path)
+    out = windowed_streaming_sketch(stream, "ts", "1 hour", "uid",
+                                    SketchSpec("hll", p=12), watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("evict_test")
+         .outputMode("update").option("checkpointLocation", dirs["ckpt"] + "-evict")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    pdf = spark.sql("select * from evict_test").toPandas()
+    finals = pdf[pdf["is_final"]]
+    # the 2026-01-01 00:00 window must have been finalized + evicted
+    assert "2026-01-01 00:00:00" in set(finals["window_start"])
+    # and its final estimate is the exact distinct count (10 uids)
+    row = finals[finals["window_start"] == "2026-01-01 00:00:00"].iloc[-1]
+    assert abs(row["estimate"] - 10) <= 1

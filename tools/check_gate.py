@@ -87,8 +87,10 @@ def main():
         if compare(spark_pdf, oracle_pdf, name):
             print(f"{name}: OK ({len(spark_pdf)} rows)")
             n_ok += 1
-    print(f"-- {n_ok}/{len([n for n in names if n in oracles])} oracle-checked queries green")
+    n_total = len([n for n in names if n in oracles])
+    print(f"-- {n_ok}/{n_total} oracle-checked queries green")
     spark.stop()
+    sys.exit(0 if n_ok == n_total else 1)
 
 
 if __name__ == "__main__":
