@@ -87,6 +87,9 @@ def bench_queries(spark) -> tuple[dict, dict]:
         sketch_agg(li, [], "l_extendedprice", SketchSpec("tdigest", compression=100.0))).quantile(0.99))
     run("kll_price", lambda: collect_sketch(
         sketch_agg(li, [], "l_extendedprice", SketchSpec("kll", k=200))).quantile(0.5))
+    cents = li.select((F.col("l_extendedprice") * 100).cast("long").alias("cents"))
+    run("qdigest_price", lambda: collect_sketch(
+        sketch_agg(cents, [], "cents", SketchSpec("qdigest", compression_factor=2048))).quantile(0.5))
     run("topk_partkey", lambda: approx_topk(li, "l_partkey", k=20, capacity=2048).collect())
 
     def _bloom():
