@@ -143,3 +143,17 @@ def test_ivalue_failed_cast_is_skipped(spark):
     )
     sk = collect_sketch(sketch_agg(df, [], "s", SketchSpec("qdigest", compression_factor=64)))
     assert sk.n == 3  # only the three castable rows counted
+
+
+def test_ivalue_empty_and_allnull_inputs(spark):
+    from pyspark.sql import functions as F
+
+    from stream_lib_spark.agg import SketchSpec, collect_sketch, sketch_agg
+
+    spec = SketchSpec("qdigest", compression_factor=64)
+    empty = spark.range(0).select(F.col("id").alias("v"))
+    sk = collect_sketch(sketch_agg(empty, [], "v", spec))
+    assert sk.n == 0
+    allnull = spark.range(10).select(F.lit(None).cast("long").alias("v"))
+    sk = collect_sketch(sketch_agg(allnull, [], "v", spec))
+    assert sk.n == 0
