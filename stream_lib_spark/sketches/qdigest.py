@@ -109,38 +109,56 @@ class QDigest:
     def _compress(self) -> None:
         """Bottom-up level sweep: fold every family (children + parent)
         whose total is <= floor(n/k) into the parent.  Restores the
-        q-digest property; each level is one vectorized pass."""
+        q-digest property; each level is one vectorized pass.
+
+        Because ``ids`` is sorted, the nodes of a level are one
+        CONTIGUOUS slice ([2^l, 2^{l+1})) and folded parents land only
+        in the prefix below it — so each level merges two sorted runs
+        instead of re-sorting the whole node array (the hot path when a
+        fresh 64k-unique batch is folded in)."""
         threshold = int(self.n // self.k)
         if threshold <= 0 or not len(self.ids):
             return
         ids, counts = self.ids, self.counts
         for level in range(self.log_cap, 0, -1):
-            at_level = (ids >> U64(level)) == U64(1)
-            if not at_level.any():
+            lo = int(np.searchsorted(ids, U64(1) << U64(level)))
+            hi = int(np.searchsorted(ids, U64(1) << U64(level + 1)))
+            if lo == hi:
                 continue
-            child_ids = ids[at_level]
-            child_cnts = counts[at_level]
-            parents = child_ids >> U64(1)
-            uniq_p, inv = np.unique(parents, return_inverse=True)
+            child_ids = ids[lo:hi]
+            child_cnts = counts[lo:hi]
+            parents = child_ids >> U64(1)  # sorted, since children are
+            new_fam = np.empty(len(parents), dtype=bool)
+            new_fam[0] = True
+            new_fam[1:] = parents[1:] != parents[:-1]
+            fam_idx = np.cumsum(new_fam) - 1
+            uniq_p = parents[new_fam]
             fam = np.zeros(len(uniq_p), dtype=np.int64)
-            np.add.at(fam, inv, child_cnts)
-            pos = np.searchsorted(ids, uniq_p)
-            has_parent = (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)] == uniq_p)
-            pcnt = np.where(has_parent, counts[np.minimum(pos, len(ids) - 1)], 0)
+            np.add.at(fam, fam_idx, child_cnts)
+            if lo:
+                pos = np.minimum(np.searchsorted(ids[:lo], uniq_p), lo - 1)
+                has_parent = ids[pos] == uniq_p
+                pcnt = np.where(has_parent, counts[pos], 0)
+            else:
+                pcnt = np.zeros(len(uniq_p), dtype=np.int64)
             merge_fam = (fam + pcnt) <= threshold
             if not merge_fam.any():
                 continue
-            drop = np.zeros(len(ids), dtype=bool)
-            drop[np.nonzero(at_level)[0]] = merge_fam[inv]
-            keep_ids, keep_cnts = ids[~drop], counts[~drop]
+            drop_children = merge_fam[fam_idx]
             add_ids = uniq_p[merge_fam]
-            add_cnts = fam[merge_fam]  # parent's own count survives in keep
-            ids = np.concatenate([keep_ids, add_ids])
-            counts = np.concatenate([keep_cnts, add_cnts])
-            uniq, inv2 = np.unique(ids, return_inverse=True)
-            summed = np.zeros(len(uniq), dtype=np.int64)
-            np.add.at(summed, inv2, counts)
-            ids, counts = uniq, summed
+            add_cnts = fam[merge_fam]  # parent's own count survives in prefix
+            pre_ids = np.concatenate([ids[:lo], add_ids])
+            pre_cnts = np.concatenate([counts[:lo], add_cnts])
+            order = np.argsort(pre_ids, kind="stable")
+            pre_ids, pre_cnts = pre_ids[order], pre_cnts[order]
+            uniq_mask = np.empty(len(pre_ids), dtype=bool)
+            uniq_mask[0] = True
+            uniq_mask[1:] = pre_ids[1:] != pre_ids[:-1]
+            gid = np.cumsum(uniq_mask) - 1
+            summed = np.zeros(int(gid[-1]) + 1, dtype=np.int64)
+            np.add.at(summed, gid, pre_cnts)
+            ids = np.concatenate([pre_ids[uniq_mask], child_ids[~drop_children], ids[hi:]])
+            counts = np.concatenate([summed, child_cnts[~drop_children], counts[hi:]])
         self.ids, self.counts = ids, counts
 
     # ----------------------------------------------------------------- query
