@@ -655,6 +655,18 @@ def q_wire_interop(spark, sf_dir):
         n += 1
     rows.append(("bloom", n, bool(ok)))
 
+    from stream_lib_spark.sketches.lc_wire import ReferenceLC
+
+    ok, n = True, 0
+    for size, cnt, card, b64 in _csv.reader(open(f"{gd}/lc_wire_golden.csv")):
+        blob = base64.b64decode(b64)
+        mine = ReferenceLC(np.zeros(int(size), dtype=np.uint8))
+        mine.add([f"item-{i}" for i in range(int(cnt))])
+        lc = ReferenceLC.from_bytes(blob)
+        ok &= mine.to_bytes() == blob and lc.cardinality() == float(card)
+        n += 1
+    rows.append(("linearcounting", n, bool(ok)))
+
     return spark.createDataFrame(rows, "kind string, n_cases long, all_ok boolean").orderBy("kind")
 
 
@@ -1010,6 +1022,7 @@ def oracle_sql() -> dict[str, str]:
         "wire_interop": (
             "SELECT * FROM (VALUES ('bloom', CAST(2 AS BIGINT), TRUE), "
             "('cms', CAST(3 AS BIGINT), TRUE), ('hllpp', CAST(30 AS BIGINT), TRUE), "
+            "('linearcounting', CAST(3 AS BIGINT), TRUE), "
             "('tdigest', CAST(6 AS BIGINT), TRUE)) AS t(kind, n_cases, all_ok) "
             "ORDER BY kind"
         ),

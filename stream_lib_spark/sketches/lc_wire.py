@@ -1,0 +1,77 @@
+"""Reference LinearCounting interop (``cardinality/LinearCounting.java``):
+the wire format IS the bitmap (``getBytes() { return map; }``), bits
+addressed LSB-first within each byte at position
+``(murmur2_32(item) & 0xFFFFFFFF) % (8·len(map))`` — murmur2-32 over
+the item's UTF-8 bytes with seed -1 (``MurmurHash.hash(byte[])``).
+
+``ReferenceLC`` imports a blob, estimates exactly as the reference
+(``m·ln(m/V)``), adds new items with reference-identical bit positions,
+OR-merges, and re-serializes byte-exactly.  Golden-tested against the
+javac-compiled reference in ``tests/test_lc_wire.py``.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .base import SketchMergeError
+from .cms_wire import murmur2_32_fixed
+
+
+def _murmur32_items(items) -> np.ndarray:
+    enc = [str(s).encode("utf-8") for s in items]
+    lengths = np.array([len(b) for b in enc], dtype=np.int64)
+    out = np.empty(len(enc), dtype=np.int32)
+    enc_arr = np.array(enc, dtype=object)
+    for L in np.unique(lengths):
+        sel = np.nonzero(lengths == L)[0]
+        buf = (
+            np.frombuffer(b"".join(enc_arr[sel]), dtype=np.uint8).reshape(len(sel), int(L))
+            if L else np.empty((len(sel), 0), dtype=np.uint8)
+        )
+        out[sel] = murmur2_32_fixed(buf, int(L), -1)
+    return out
+
+
+class ReferenceLC:
+    def __init__(self, bitmap: np.ndarray):
+        self.bitmap = bitmap.astype(np.uint8)
+
+    @property
+    def length(self) -> int:
+        return 8 * len(self.bitmap)
+
+    def _positions(self, items) -> np.ndarray:
+        h = _murmur32_items(items).view(np.uint32).astype(np.uint64)  # & 0xFFFFFFFFL
+        return (h % np.uint64(self.length)).astype(np.int64)
+
+    def add(self, items) -> "ReferenceLC":
+        bit = self._positions(items)
+        np.bitwise_or.at(self.bitmap, bit >> 3, (1 << (bit & 7)).astype(np.uint8))
+        return self
+
+    def is_set(self, items) -> np.ndarray:
+        bit = self._positions(items)
+        return (self.bitmap[bit >> 3] >> (bit & 7).astype(np.uint8)) & 1 == 1
+
+    def cardinality(self) -> float:
+        m = self.length
+        v = m - int(np.unpackbits(self.bitmap).sum())
+        if v == 0:
+            return float("inf")
+        return round(m * math.log(m / v))
+
+    def merge(self, other: "ReferenceLC") -> "ReferenceLC":
+        if len(self.bitmap) != len(other.bitmap):
+            raise SketchMergeError("ReferenceLC size mismatch")
+        np.bitwise_or(self.bitmap, other.bitmap, out=self.bitmap)
+        return self
+
+    def to_bytes(self) -> bytes:
+        return self.bitmap.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "ReferenceLC":
+        return cls(np.frombuffer(data, dtype=np.uint8).copy())
