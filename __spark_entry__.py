@@ -667,6 +667,50 @@ def q_wire_interop(spark, sf_dir):
         n += 1
     rows.append(("linearcounting", n, bool(ok)))
 
+    from stream_lib_spark.sketches.loglog_wire import ReferenceAdaptiveCounting, ReferenceLogLog
+
+    ok_ll, n_ll, ok_ac, n_ac = True, 0, True, 0
+    for kind, k, cnt, card, b64 in _csv.reader(open(f"{gd}/loglog_wire_golden.csv")):
+        blob = base64.b64decode(b64)
+        cls = ReferenceLogLog if kind == "loglog" else ReferenceAdaptiveCounting
+        mine = cls.new(int(k))
+        mine.add([f"item-{i}" for i in range(int(cnt))])
+        good = mine.to_bytes() == blob and cls(blob).cardinality() == int(card)
+        if kind == "loglog":
+            ok_ll, n_ll = ok_ll and good, n_ll + 1
+        else:
+            ok_ac, n_ac = ok_ac and good, n_ac + 1
+    rows.append(("adaptivecounting", n_ac, bool(ok_ac)))
+    rows.append(("loglog", n_ll, bool(ok_ll)))
+
+    from stream_lib_spark.sketches.qdigest_wire import (
+        from_reference_bytes as qd_from,
+        reference_quantile,
+        to_reference_bytes as qd_to,
+    )
+
+    ok, n = True, 0
+    for _cf, _n, q05, q50, q95, b64 in _csv.reader(open(f"{gd}/qdigest_wire_golden.csv")):
+        blob = base64.b64decode(b64)
+        qd = qd_from(blob)
+        ok &= [reference_quantile(qd, q) for q in (0.05, 0.5, 0.95)] == [int(q05), int(q50), int(q95)]
+        ok &= qd_to(qd_from(qd_to(qd))) == qd_to(qd)  # canonical-form fixpoint
+        n += 1
+    rows.append(("qdigest", n, bool(ok)))
+
+    from stream_lib_spark.sketches.cte_wire import parse_reference_bytes as cte_parse
+    from stream_lib_spark.sketches.cte_wire import to_reference_bytes as cte_to
+
+    ok, n = True, 0
+    for _name, cnt, tipped, card, b64 in _csv.reader(open(f"{gd}/cte_wire_golden.csv")):
+        blob = base64.b64decode(b64)
+        cte = cte_parse(blob)
+        ok &= cte_to(cte) == blob  # full JOS stream byte roundtrip
+        if tipped != "true":
+            ok &= cte.cardinality() == float(card) == float(cnt)
+        n += 1
+    rows.append(("countthenestimate", n, bool(ok)))
+
     return spark.createDataFrame(rows, "kind string, n_cases long, all_ok boolean").orderBy("kind")
 
 
@@ -1020,9 +1064,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY event_type ORDER BY event_type"
         ),
         "wire_interop": (
-            "SELECT * FROM (VALUES ('bloom', CAST(2 AS BIGINT), TRUE), "
-            "('cms', CAST(3 AS BIGINT), TRUE), ('hllpp', CAST(30 AS BIGINT), TRUE), "
+            "SELECT * FROM (VALUES ('adaptivecounting', CAST(3 AS BIGINT), TRUE), "
+            "('bloom', CAST(2 AS BIGINT), TRUE), "
+            "('cms', CAST(3 AS BIGINT), TRUE), "
+            "('countthenestimate', CAST(7 AS BIGINT), TRUE), "
+            "('hllpp', CAST(30 AS BIGINT), TRUE), "
             "('linearcounting', CAST(3 AS BIGINT), TRUE), "
+            "('loglog', CAST(3 AS BIGINT), TRUE), "
+            "('qdigest', CAST(3 AS BIGINT), TRUE), "
             "('tdigest', CAST(6 AS BIGINT), TRUE)) AS t(kind, n_cases, all_ok) "
             "ORDER BY kind"
         ),

@@ -60,15 +60,21 @@ def ensure_shipped(spark: SparkSession) -> None:
 
 
 def get_spark(app_name: str = "stream_lib_spark", cpus: int | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
     """Tuned local session (sandbox stand-in for the cluster deploy;
-    see /opt/skills/guides/pyspark_guide.md session pattern)."""
+    see /opt/skills/guides/pyspark_guide.md session pattern).
+    ``extra_conf``: additional spark confs (e.g. executor-container JVM
+    sizing flags for the scaling harness)."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
+    builder = SparkSession.builder
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))

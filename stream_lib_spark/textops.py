@@ -16,6 +16,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from .hashing import splitmix64
@@ -616,44 +617,93 @@ def winnowing_fingerprints(docs: DataFrame, k: int = 5, window: int = 4,
     """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
     SIGMOD'03): rolling hash over character k-grams, keep the minimum
     hash of every sliding window → a compact, position-robust
-    fingerprint set.  Vectorized: one murmur pass over all k-grams of a
-    doc (stride-tricks windowing), sliding-window minimum via a
-    (n_windows, window) strided min — no per-gram Python.
+    fingerprint set.  Fully vectorized, zero per-doc Python: lowercasing
+    runs JVM-side, the kernel reads the Arrow string buffers flat (one
+    byte array + doc offsets), hashes every k-gram of the whole batch in
+    ONE murmur pass, takes sliding-window minima over the flat gram-hash
+    array, and masks windows straddling doc boundaries with the same
+    interval-cumsum trick as ``_shingle_hash_flat``; per-doc uniqueness
+    is a lexsort + consecutive-dup drop.
 
     Returns (id, fingerprint long) exploded rows — the join key for
     plagiarism/near-dup detection at corpus scale."""
-    schema = T.StructType([
-        T.StructField(id_col, T.LongType()),
-        T.StructField("fingerprint", T.LongType()),
-    ])
+    prepared = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.coalesce(F.lower(F.col(text_col)), F.lit("")).alias("__t"),
+    )
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def gen(batches):
         from numpy.lib.stride_tricks import sliding_window_view
 
-        for pdf in batches:
-            out_ids, out_fps = [], []
-            for did, t in zip(pdf[id_col].to_numpy(), pdf[text_col].to_numpy()):
-                b = np.frombuffer(("" if t is None else str(t)).lower().encode("utf-8"), dtype=np.uint8)
-                if len(b) < k:
-                    continue
-                grams = sliding_window_view(b, k)  # (n-k+1, k)
-                h = _hash_kgrams(grams)
-                if len(h) < window:
-                    mins = np.array([h.min()])
-                else:
-                    mins = np.unique(sliding_window_view(h, window).min(axis=1))
-                out_ids.extend([did] * len(mins))
-                out_fps.extend(mins.view(np.int64).tolist())
-            yield pd.DataFrame({id_col: out_ids, "fingerprint": out_fps})
+        from .hashing import _murmur64a_fixed
 
-    return docs.select(id_col, text_col).mapInPandas(gen, schema=schema)
+        for rb in batches:
+            n_docs = rb.num_rows
+            if n_docs == 0:
+                continue
+            ids = rb.column(0).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            txt = rb.column(1)
+            width = 8 if pa.types.is_large_string(txt.type) else 4
+            odt = np.int64 if width == 8 else np.int32
+            offs = np.frombuffer(txt.buffers()[1], dtype=odt,
+                                 count=n_docs + 1, offset=txt.offset * width).astype(np.int64)
+            dbuf = txt.buffers()[2]
+            if dbuf is None:  # every string in the batch is empty
+                continue
+            data = np.frombuffer(dbuf, dtype=np.uint8)
+            b = data[offs[0]:offs[-1]]
+            rel_starts = offs[:-1] - offs[0]
+            lens = offs[1:] - offs[:-1]
+            if len(b) < k:
+                continue
+            # 1. hash every k-gram window of the FLAT byte buffer, then
+            #    mask out windows straddling a doc boundary
+            okdoc = lens >= k
+            nw = len(b) - k + 1
+            wins = np.ascontiguousarray(sliding_window_view(b, k))
+            h_all = _murmur64a_fixed(wins, k, np.uint64(0xE17A1465))
+            delta = np.zeros(nw + 1, dtype=np.int64)
+            np.add.at(delta, rel_starts[okdoc], 1)
+            np.add.at(delta, rel_starts[okdoc] + lens[okdoc] - k + 1, -1)
+            h = h_all[np.cumsum(delta[:-1]) > 0]
+            gcounts = np.where(okdoc, lens - k + 1, 0)
+            gstarts = np.zeros(n_docs, dtype=np.int64)
+            np.cumsum(gcounts[:-1], out=gstarts[1:]) if n_docs > 1 else None
+            if len(h) == 0:
+                continue
+            # 2. sliding-window minima over the flat gram-hash array,
+            #    boundary-masked the same way; docs with fewer grams
+            #    than `window` keep their single whole-doc minimum
+            big = gcounts >= window
+            parts_doc, parts_fp = [], []
+            nwin = len(h) - window + 1
+            if big.any() and nwin > 0:
+                wmins = sliding_window_view(h, window).min(axis=1)
+                d2 = np.zeros(nwin + 1, dtype=np.int64)
+                np.add.at(d2, gstarts[big], 1)
+                np.add.at(d2, gstarts[big] + gcounts[big] - window + 1, -1)
+                parts_fp.append(wmins[np.cumsum(d2[:-1]) > 0])
+                parts_doc.append(np.repeat(np.arange(n_docs), np.where(big, gcounts - window + 1, 0)))
+            small = (gcounts > 0) & ~big
+            if small.any():
+                gpos = gcounts > 0
+                dmins = np.minimum.reduceat(h, gstarts[gpos])
+                parts_fp.append(dmins[small[gpos]])
+                parts_doc.append(np.flatnonzero(small))
+            doc_idx = np.concatenate(parts_doc)
+            fps = np.concatenate(parts_fp)
+            # 3. per-doc unique, vectorized: lexsort + drop consecutive dups
+            order = np.lexsort((fps, doc_idx))
+            di, fp = doc_idx[order], fps[order]
+            keep = np.ones(len(di), dtype=bool)
+            keep[1:] = (di[1:] != di[:-1]) | (fp[1:] != fp[:-1])
+            di, fp = di[keep], fp[keep]
+            yield pa.record_batch(
+                [pa.array(ids[di]), pa.array(fp.view(np.int64))],
+                names=[id_col, "fingerprint"],
+            )
 
-
-def _hash_kgrams(grams: np.ndarray) -> np.ndarray:
-    """murmur64 of fixed-width k-gram byte rows, fully vectorized."""
-    from .hashing import _murmur64a_fixed
-
-    return _murmur64a_fixed(np.ascontiguousarray(grams), grams.shape[1], np.uint64(0xE17A1465))
+    return prepared.mapInArrow(gen, schema=f"{id_col} long, fingerprint long")
 
 
 def winnowing_similar_pairs(docs: DataFrame, k: int = 5, window: int = 4,
