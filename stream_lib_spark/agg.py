@@ -350,7 +350,7 @@ def merge_partials(partials: DataFrame, keys: list[str], spec: SketchSpec,
         sk = sketch_from_bytes(blobs.iloc[0])
         for b in blobs.iloc[1:]:
             sk.merge(sketch_from_bytes(b))
-        if finalize_compress and isinstance(sk, TDigest):
+        if finalize_compress and isinstance(sk, (TDigest, KLL)):
             sk.compress()
         head = pdf[keys].iloc[:1].reset_index(drop=True) if keys else pd.DataFrame(index=[0])
         head[STATE_COL] = [sk.to_bytes()]
@@ -393,7 +393,7 @@ def merge_partials(partials: DataFrame, keys: list[str], spec: SketchSpec,
                 sk = s if sk is None else sk.merge(s)
         if sk is None:
             sk = spec.new()
-        if finalize_compress and isinstance(sk, TDigest):
+        if finalize_compress and isinstance(sk, (TDigest, KLL)):
             sk.compress()
         yield pd.DataFrame({STATE_COL: [sk.to_bytes()]})
 
@@ -530,7 +530,7 @@ def _merge_multi(partials: DataFrame, keys: list[str], names: list[str],
                 sk = s if sk is None else sk.merge(s)
             if sk is None:
                 sk = specs[n].new()
-            if compress and isinstance(sk, TDigest):
+            if compress and isinstance(sk, (TDigest, KLL)):
                 sk.compress()
             out[n] = [sk.to_bytes()]
         return out

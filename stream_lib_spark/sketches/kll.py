@@ -10,11 +10,21 @@ every other item (offset by a coin) is promoted to level ``h+1``.
 
 Determinism: the compaction coin is derived from a per-level compaction
 counter (alternating offsets) instead of an RNG, so sketch state is a
-pure deterministic function of (input multiset order-insensitive up to
-compaction boundaries, merge topology).  Like the reference's t-digest,
-KLL is not byte-associative across arbitrary groupings; rank-error
-contracts are preserved under any grouping (tested), and the Spark agg
-layer uses a fixed deterministic merge topology for reproducibility.
+pure deterministic function of the input stream.
+
+Merge is BYTE-ASSOCIATIVE and BYTE-COMMUTATIVE over partial states
+(north-rule contract: merging partition sketches in any grouping yields
+byte-identical state, hence identical estimates): ``merge`` performs NO
+compaction — it concatenates levels, re-sorts each level (the canonical
+form: the merged state is a pure function of the MULTISET of partials),
+and sums counters; the single deterministic compaction happens at
+finalize (``compress()``, called once by the agg layer's last fold,
+like t-digest's).  Boundary: if an uncompacted union exceeds
+``MERGE_COMPACT_BUDGET`` items (~64 partials' worth at k=200 per 2^16
+items), merge compacts early to bound blob size — beyond that many
+partials per fold the guarantee narrows from byte-identity to the
+tested rank contract (the agg layer's auto fan-in keeps folds ~sqrt(n)
+partials wide, so the budget covers realistic topologies).
 
 Rank error target (tested): <= 0.012 at k=200, n=100k, matching the
 bound we mirror from the reference's t-digest tests so both quantile
@@ -56,6 +66,8 @@ class KLL:
         v = v[~np.isnan(v)]
         if len(v) == 0:
             return self
+        v = v + 0.0  # canonicalize -0.0 (sorts as equal to +0.0, but its
+        # placement among equal keys would leak insertion order into bytes)
         self.levels[0] = np.concatenate([self.levels[0], v])
         self.n += len(v)
         self._compress()
@@ -89,7 +101,12 @@ class KLL:
 
     # ---------------------------------------------------------------- merge
 
+    MERGE_COMPACT_BUDGET = 1 << 16  # items; see module docstring
+
     def merge(self, other: "KLL") -> "KLL":
+        """Canonical, compaction-free merge: the result is a pure
+        function of the multiset {self, other} — byte-associative and
+        byte-commutative under any merge grouping of fixed partials."""
         if self.k != other.k:
             raise SketchMergeError("KLL k mismatch")
         while len(self.levels) < len(other.levels):
@@ -98,9 +115,20 @@ class KLL:
         for h, lv in enumerate(other.levels):
             if len(lv):
                 self.levels[h] = np.concatenate([self.levels[h], lv])
+        # canonical form: every level sorted (operand order cannot show)
+        self.levels = [np.sort(lv) for lv in self.levels]
         for h in range(min(len(self.compactions), len(other.compactions))):
             self.compactions[h] += other.compactions[h]
         self.n += other.n
+        if sum(len(lv) for lv in self.levels) > self.MERGE_COMPACT_BUDGET:
+            self._compress()  # size-bound fallback (documented boundary)
+        return self
+
+    def compress(self) -> "KLL":
+        """Finalize: canonicalize (sort every level — a never-merged
+        state still has level 0 in insertion order) and run the single
+        deterministic compaction of the merged canonical state."""
+        self.levels = [np.sort(lv) for lv in self.levels]
         self._compress()
         return self
 

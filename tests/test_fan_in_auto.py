@@ -67,3 +67,25 @@ def test_explicit_fan_in_still_respected(spark):
     assert "FlatMapGroupsInPandas" in _plan(forced)
     assert "FlatMapGroupsInPandas" not in _plan(off)
     assert bytes(forced.collect()[0]["sketch"]) == bytes(off.collect()[0]["sketch"])
+
+
+@pytest.mark.parametrize("kind,spec", [
+    ("kll", SketchSpec("kll", k=200)),
+    ("tdigest", SketchSpec("tdigest", compression=100.0)),
+])
+def test_quantile_sketch_fan_in_topology(spark, kind, spec):
+    """KLL state is byte-identical across merge topologies of the SAME
+    partials (canonical concat merge + single finalize compaction);
+    t-digest keeps its weaker split contract — totals must agree."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_extendedprice")
+    partials = sketch_partials(li.repartition(8), [], "l_extendedprice", spec)
+    partials = partials.localCheckpoint()  # FIX the partials across both folds
+    forced = bytes(merge_partials(partials, [], spec, fan_in=3).collect()[0]["sketch"])
+    off = bytes(merge_partials(partials, [], spec, fan_in=None).collect()[0]["sketch"])
+    from stream_lib_spark.agg import sketch_from_bytes
+
+    if kind == "kll":
+        assert forced == off
+        assert sketch_from_bytes(forced).n == li.count()
+    else:
+        assert sketch_from_bytes(forced).total == sketch_from_bytes(off).total == li.count()

@@ -97,6 +97,34 @@ def test_tdigest_split_total_and_median(vals, parts):
     assert err <= max(0.05, 2.0 / len(arr))
 
 
+@settings(max_examples=40, deadline=None)
+@given(a=st.lists(st.floats(min_value=-1e9, max_value=1e9, allow_nan=False), max_size=300),
+       b=st.lists(st.floats(min_value=-1e9, max_value=1e9, allow_nan=False), max_size=300),
+       c=st.lists(st.floats(min_value=-1e9, max_value=1e9, allow_nan=False), max_size=300))
+def test_kll_grouping_byte_identity(a, b, c):
+    """North-rule contract for the quantile sketch too: merging FIXED
+    partition partials in any grouping/order yields byte-identical
+    state (merge = canonical concat; the one deterministic compaction
+    happens at finalize)."""
+
+    def part(vals):
+        return KLL(64).add_values(np.array(vals)) if vals else KLL(64)
+
+    def blob(merged):
+        return merged.compress().to_bytes()
+
+    ska, skb, skc = part(a), part(b), part(c)
+    ab_c = blob(part(a).merge(skb).merge(skc))
+    bc = part(b).merge(skc)
+    a_bc = blob(part(a).merge(bc))
+    cba = blob(part(c).merge(part(b)).merge(part(a)))
+    assert ab_c == a_bc == cba
+    # identity + byte round-trip
+    assert blob(part(a).merge(KLL(64))) == blob(part(a))
+    rt = KLL.from_bytes(part(a).merge(part(b)).to_bytes())
+    assert rt.to_bytes() == part(a).merge(part(b)).to_bytes()
+
+
 @settings(max_examples=25, deadline=None)
 @given(vals=st.lists(st.floats(min_value=-1e9, max_value=1e9, allow_nan=False), min_size=1, max_size=500),
        parts=st.integers(min_value=1, max_value=7))
