@@ -185,6 +185,22 @@ def ivf_assign(corpus: DataFrame, centroids: np.ndarray,
     return corpus.withColumn("list_id", assign(F.col(vec_col)))
 
 
+def ivf_probe_lists(queries: DataFrame, centroids: np.ndarray, n_probe: int,
+                    vec_col: str = "embedding") -> DataFrame:
+    """Add ``probe_lists`` (array<int>): each query's ``n_probe``
+    nearest coarse centroids — the same closed-over-GEMM shape as
+    ``ivf_assign``, so an arbitrarily large query TABLE is probed
+    without ever touching the driver."""
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probes(v: pd.Series) -> pd.Series:
+        m = _normalize(_as_matrix(v))
+        idx = np.argsort(-(m @ centroids.T), axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype(np.int32).tolist() for row in idx])
+
+    return queries.withColumn("probe_lists", probes(F.col(vec_col)))
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              n_lists: int = 16, n_probe: int = 8,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
@@ -193,32 +209,27 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     scores ONLY the ``n_probe`` lists nearest to it (exact cosine within
     the probed lists, global window top-k).
 
-    The 100-TB shape: assignment is an embarrassingly-parallel GEMM; the
-    probe step is a broadcast equi-join on ``list_id`` — the corpus
-    never self-joins and only corpus rows in probed lists are scored,
-    cutting the scan to ~n_probe/n_lists of a brute-force pass.  On
-    clustered embeddings few probes suffice; this synthetic fixture is
-    unclustered, so the gate probes densely."""
+    The 100-TB shape: both sides stay DataFrames end-to-end — corpus
+    assignment and query probing are embarrassingly-parallel GEMMs
+    against the closed-over centroid matrix, and candidates come from a
+    plain equi-join on ``list_id`` (AQE broadcasts a small query side by
+    itself; a query TABLE of any size shuffles on list_id — no
+    driver-side materialization anywhere).  The corpus never self-joins
+    and only corpus rows in probed lists are scored, cutting the scan to
+    ~n_probe/n_lists of a brute-force pass.  On clustered embeddings few
+    probes suffice; this synthetic fixture is unclustered, so the gate
+    probes densely."""
     cents = ivf_centroids(corpus, n_lists, id_col, vec_col)
     bucketed = ivf_assign(corpus, cents, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), "list_id"
     )
-    q_rows = queries.select(id_col, vec_col).collect()
-    q_ids = [r[id_col] for r in q_rows]
-    q_mat = _normalize(np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64))
-    probes = np.argsort(-(q_mat @ cents.T), axis=1)[:, :n_probe]  # (n_q, n_probe)
-    probe_rows = [
-        (int(qid), int(lst)) for qid, row in zip(q_ids, probes) for lst in row
-    ]
-    spark = corpus.sparkSession
-    probe_df = spark.createDataFrame(probe_rows, "query_id long, list_id int")
-    qvec_df = spark.createDataFrame(
-        [(int(qid), [float(x) for x in vec]) for qid, vec in zip(q_ids, q_mat)],
-        "query_id long, qvec array<double>",
+    qprobed = ivf_probe_lists(queries.select(id_col, vec_col), cents, n_probe, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode("probe_lists").alias("list_id"),
     )
     cand = (
-        bucketed.join(F.broadcast(probe_df), "list_id")
-        .join(F.broadcast(qvec_df), "query_id")
+        bucketed.join(qprobed, "list_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
     )
 
