@@ -487,16 +487,20 @@ def cap_doc_frequency(exploded: DataFrame, key: str, max_doc_freq: int) -> DataF
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
                         id_col: str = "doc_id", text_col: str = "text",
-                        max_gram_doc_freq: int | None = None) -> DataFrame:
+                        max_gram_doc_freq: int | None = 1000) -> DataFrame:
     """Exact word n-gram Jaccard over candidate pairs sharing at least
     one n-gram (explode→co-group join; SQL-expressible for the oracle).
     Quadratic only within shared-shingle buckets.
 
-    ``max_gram_doc_freq`` bounds the hot-gram blowup: candidate PAIRS
-    come from the capped-gram join, but intersections are then recounted
-    over the UNCAPPED grams restricted to those candidates, so every
-    reported Jaccard stays exact — a pair is only lost if ALL of its
-    shared grams are corpus-hot."""
+    ``max_gram_doc_freq`` bounds the hot-gram blowup and is ON BY
+    DEFAULT (1000: any single gram's bucket emits at most ~10^6
+    candidate pairs — one task-sized unit of work — and only grams
+    shared by >1000 docs are dropped): candidate PAIRS come from the
+    capped-gram join, but intersections are then recounted over the
+    UNCAPPED grams restricted to those candidates, so every reported
+    Jaccard stays exact — a pair is only lost if ALL of its shared
+    grams are corpus-hot (tested with a planted boilerplate gram in
+    ``tests/test_textops.py``).  Pass ``None`` to disable."""
     grams = _word_ngrams(docs, n, id_col, text_col)
     counts = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
     ga = grams.withColumnRenamed(id_col, "id_a")
@@ -545,11 +549,15 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     deterministic keep-first representative — the step that turns pair
     detection into an actual dedup decision.
 
-    Scale shape: the standard iterative CC-on-Spark loop — per round one
-    equi-join + groupBy-min, O(graph diameter) rounds (near-dup clusters
-    are shallow in practice); ``localCheckpoint`` cuts lineage growth so
-    the plan stays constant-size across iterations.  Deterministic: min
-    is order-insensitive."""
+    Scale shape: iterative CC with POINTER HALVING — per round, each
+    node takes the min label over (itself, its neighbors' labels, its
+    label's label).  The label-of-label hop halves pointer-chain depth
+    every round, so convergence is O(log diameter) rounds instead of the
+    plain label-propagation O(diameter) (a planted 1000-node chain
+    converges in ~11 rounds, ``tests/test_textops.py``); each round is
+    two equi-joins + a groupBy-min, and ``localCheckpoint`` cuts lineage
+    growth so the plan stays constant-size across iterations.
+    Deterministic: min is order-insensitive."""
     edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -565,11 +573,21 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
             .groupBy("a")
             .agg(F.min("lbl").alias("nb_min"))
         )
-        updated = (
+        hopped = (
             labels.join(nb_min, labels["node"] == nb_min["a"], "left")
             .select(
                 "node", "lbl",
-                F.least(F.col("lbl"), F.coalesce("nb_min", F.col("lbl"))).alias("new_lbl"),
+                F.least(F.col("lbl"), F.coalesce("nb_min", F.col("lbl"))).alias("l1"),
+            )
+        )
+        # pointer halving: hop once more through the label graph
+        # (labels are node ids, so lbl-of-lbl is a plain self-join)
+        lblmap = labels.select(F.col("node").alias("mnode"), F.col("lbl").alias("mlbl"))
+        updated = (
+            hopped.join(lblmap, hopped["l1"] == lblmap["mnode"], "left")
+            .select(
+                "node", "lbl",
+                F.least(F.col("l1"), F.coalesce("mlbl", F.col("l1"))).alias("new_lbl"),
             )
         ).localCheckpoint()
         changed = updated.where(F.col("new_lbl") < F.col("lbl")).count()
@@ -709,13 +727,14 @@ def winnowing_fingerprints(docs: DataFrame, k: int = 5, window: int = 4,
 def winnowing_similar_pairs(docs: DataFrame, k: int = 5, window: int = 4,
                             min_shared: int = 10,
                             id_col: str = "doc_id", text_col: str = "text",
-                            max_fp_doc_freq: int | None = None) -> DataFrame:
+                            max_fp_doc_freq: int | None = 1000) -> DataFrame:
     """Doc pairs sharing >= min_shared winnowing fingerprints (equi-join
-    on fingerprint → co-group count; no cross product).  Pass
-    ``max_fp_doc_freq`` to drop corpus-hot fingerprints before the join
-    (see ``cap_doc_frequency`` — bounds the worst-case bucket blowup at
-    the cost of undercounting shared fingerprints for pairs that share
-    hot ones)."""
+    on fingerprint → co-group count; no cross product).
+    ``max_fp_doc_freq`` drops corpus-hot fingerprints before the join
+    and is ON BY DEFAULT (1000; see ``cap_doc_frequency`` — bounds the
+    worst-case bucket blowup at the cost of undercounting shared
+    fingerprints for pairs whose overlap is mostly boilerplate-hot).
+    Pass ``None`` to disable."""
     fp = winnowing_fingerprints(docs, k, window, id_col, text_col)
     if max_fp_doc_freq is not None:
         fp = cap_doc_frequency(fp, "fingerprint", max_fp_doc_freq)

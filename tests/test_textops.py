@@ -174,3 +174,49 @@ def test_near_dup_clusters_components(spark):
     got2 = {r["doc_id"]: r["canonical_id"]
             for r in near_dup_clusters(pairs.repartition(7)).collect()}
     assert got2 == got
+
+
+def test_hot_gram_cap_bounds_candidates_and_preserves_recall(spark):
+    """A corpus-hot boilerplate shingle (df = every doc) must not blow
+    up the pair join, and the default cap must not cost recall: pairs
+    whose overlap includes any rare gram survive with EXACT jaccard
+    (the intersection recount runs over uncapped grams)."""
+    from stream_lib_spark.textops import _word_ngrams, cap_doc_frequency, ngram_jaccard_pairs
+
+    boiler = "this report was generated by the standard pipeline template"
+    rows = []
+    for i in range(60):
+        body = " ".join(f"uniq{i}w{j}" for j in range(30))
+        rows.append((i, f"{boiler} {body}"))
+    # planted near-dups: same body, one word changed at the tail
+    rows.append((100, f"{boiler} " + " ".join(f"dupAw{j}" for j in range(30))))
+    rows.append((101, f"{boiler} " + " ".join(f"dupAw{j}" for j in range(29)) + " dupAx"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    grams = _word_ngrams(docs, 3, "doc_id", "text")
+    capped = cap_doc_frequency(grams, "gram", 20)
+    df_after = capped.groupBy("gram").count().agg(F.max("count")).collect()[0][0]
+    assert df_after <= 20  # every surviving gram's bucket is bounded
+    # the boilerplate grams (df=62) are gone
+    assert capped.where(F.col("gram").contains("standard pipeline")).count() == 0
+
+    got = ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_gram_doc_freq=20)
+    brute = ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_gram_doc_freq=None)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, brute.collect()))
+    pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    assert (100, 101) in pairs
+
+
+def test_cc_chain_converges_in_log_rounds(spark):
+    """Pointer halving: a 1000-node chain (diameter 999) must converge
+    well inside max_iters=20 — plain label propagation would need 999
+    rounds — and still label every node with the chain minimum."""
+    from stream_lib_spark.textops import near_dup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(999)], "id_a long, id_b long"
+    )
+    out = near_dup_clusters(chain, max_iters=20)
+    rows = out.collect()
+    assert len(rows) == 1000
+    assert {r["canonical_id"] for r in rows} == {0}
