@@ -28,35 +28,70 @@ from .agg import SketchSpec, sketch_from_bytes, sketch_agg
 
 
 class SketchStateStore:
-    """Tiny versioned single-sketch state store on a filesystem dir
-    (an Iceberg/Delta table at deploy time).  Writes are atomic
-    (tmp + rename); state carries the last applied streaming batch id."""
+    """Versioned PARQUET state table (the Delta/Iceberg-shaped deploy
+    story, same single-writer commit protocol):
+
+        <path>/data/v<batch_id>.parquet   immutable snapshot
+                                          (blob binary, batch_id long)
+        <path>/_versions/<batch_id>.json  commit marker
+
+    A commit writes the immutable snapshot data file first, then
+    atomically publishes the version marker (tmp + rename) — a reader
+    resolves MAX(committed version) and can never observe a half-written
+    snapshot, exactly the manifest-pointer protocol of an Iceberg/Delta
+    commit (and the same emulation ``jobs/checkpoint.py`` uses for
+    snapshot-pinned reads).  History is retained, so any past state is
+    still queryable by version; snapshots are plain parquet, readable by
+    Spark/DuckDB/any engine, not just this library.  Structured
+    Streaming guarantees one driver per query, so the single-writer
+    assumption holds per state path; the stored ``batch_id`` makes
+    replayed micro-batches idempotent."""
 
     def __init__(self, path: str):
         self.path = path
-        os.makedirs(path, exist_ok=True)
+        self._data_dir = os.path.join(path, "data")
+        self._vdir = os.path.join(path, "_versions")
+        os.makedirs(self._data_dir, exist_ok=True)
+        os.makedirs(self._vdir, exist_ok=True)
 
-    @property
-    def _state_file(self) -> str:
-        return os.path.join(self.path, "state.json")
+    def versions(self) -> list[int]:
+        return sorted(
+            int(f[:-5]) for f in os.listdir(self._vdir) if f.endswith(".json")
+        )
 
-    def read(self) -> tuple[object | None, int]:
-        if not os.path.exists(self._state_file):
+    def read(self, version: int | None = None) -> tuple[object | None, int]:
+        """Latest committed (sketch, batch_id), or a pinned ``version``."""
+        import pyarrow.parquet as pq
+
+        committed = self.versions()
+        if not committed:
             return None, -1
-        with open(self._state_file) as f:
-            doc = json.load(f)
-        import base64
-
-        return sketch_from_bytes(base64.b64decode(doc["blob"])), doc["batch_id"]
+        batch_id = committed[-1] if version is None else version
+        if batch_id not in committed:
+            raise ValueError(f"version {batch_id} not committed (have {committed})")
+        with open(os.path.join(self._vdir, f"{batch_id:020d}.json")) as f:
+            snap = json.load(f)
+        tbl = pq.read_table(os.path.join(self.path, snap["file"]))
+        return sketch_from_bytes(tbl.column("blob")[0].as_py()), batch_id
 
     def write(self, sketch, batch_id: int) -> None:
-        import base64
+        import pyarrow as pa
+        import pyarrow.parquet as pq
 
-        tmp = self._state_file + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"blob": base64.b64encode(sketch.to_bytes()).decode(),
-                       "batch_id": batch_id}, f)
-        os.replace(tmp, self._state_file)
+        rel = os.path.join("data", f"v{batch_id}.parquet")
+        data_path = os.path.join(self.path, rel)
+        tbl = pa.table({
+            "blob": pa.array([sketch.to_bytes()], type=pa.binary()),
+            "batch_id": pa.array([batch_id], type=pa.int64()),
+        })
+        tmp = data_path + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, data_path)  # snapshot in place, NOT yet committed
+        marker = os.path.join(self._vdir, f"{batch_id:020d}.json")
+        mtmp = marker + ".tmp"
+        with open(mtmp, "w") as f:
+            json.dump({"batch_id": batch_id, "file": rel}, f)
+        os.replace(mtmp, marker)  # the atomic commit point
 
 
 def streaming_sketch_query(stream_df: DataFrame, col: str, spec: SketchSpec,

@@ -144,3 +144,34 @@ def test_windowed_state_eviction(spark, dirs):
     # and its final estimate is the exact distinct count (10 uids)
     row = finals[finals["window_start"] == "2026-01-01 00:00:00"].iloc[-1]
     assert abs(row["estimate"] - 10) <= 1
+
+
+def test_state_store_is_versioned_parquet_table(spark, tmp_path):
+    """The state store is a real versioned parquet table: immutable
+    per-commit snapshots + atomic version markers, history queryable by
+    any parquet reader and pinnable by version."""
+    from stream_lib_spark.agg import SketchSpec
+    from stream_lib_spark.streaming import SketchStateStore
+
+    import numpy as np
+
+    from stream_lib_spark.hashing import murmur64a_int64
+
+    store = SketchStateStore(str(tmp_path / "state"))
+    assert store.read() == (None, -1)
+    spec = SketchSpec("hll", p=10)
+    sk = spec.new()
+    sk.update_hashed(murmur64a_int64(np.arange(100, dtype=np.int64)))
+    store.write(sk, 0)
+    sk.update_hashed(murmur64a_int64(np.arange(100, 300, dtype=np.int64)))
+    store.write(sk, 1)
+
+    assert store.versions() == [0, 1]
+    latest, bid = store.read()
+    assert bid == 1 and latest.to_bytes() == sk.to_bytes()
+    pinned, bid0 = store.read(version=0)
+    assert bid0 == 0 and pinned.cardinality() < latest.cardinality()
+    # snapshots are plain parquet — queryable by Spark itself
+    df = spark.read.parquet(str(tmp_path / "state" / "data" / "v1.parquet"))
+    assert df.columns == ["blob", "batch_id"]
+    assert bytes(df.collect()[0]["blob"]) == sk.to_bytes()
