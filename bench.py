@@ -52,7 +52,7 @@ def materialize_transcripts(spark, n_convs=BENCH_CONVS, path=TRANSCRIPT_PARQUET)
 def bench_queries(spark) -> tuple[dict, dict]:
     from stream_lib_spark.agg import SketchSpec, collect_sketch, sketch_agg
     from stream_lib_spark.functions import approx_quantiles, approx_topk, bloom_build, bloom_probe
-    from stream_lib_spark.textops import minhash_lsh_pairs
+    from stream_lib_spark.textops import minhash_lsh_pairs, winnowing_fingerprints
     from stream_lib_spark.transcripts import turn_latencies
 
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
@@ -65,6 +65,7 @@ def bench_queries(spark) -> tuple[dict, dict]:
     # queries; each timed query shouldn't re-pay JIT + worker spin-up)
     collect_sketch(sketch_agg(ev.limit(1000), [], "user_id", SketchSpec("hll", p=8)))
     minhash_lsh_pairs(docs.limit(50), threshold=0.5).count()
+    winnowing_fingerprints(docs.limit(50)).count()
     approx_quantiles(turn_latencies(tr.limit(2000)), "latency_s", [0.5], kind="tdigest").collect()
     bloom_probe(bloom_build(ev.limit(500), "user_id", n_elements=512, fpp=0.01),
                 spark.range(100), "id").count()
@@ -100,6 +101,7 @@ def bench_queries(spark) -> tuple[dict, dict]:
 
     run("bloom_build_probe", _bloom)
     run("minhash_dedup_docs", lambda: minhash_lsh_pairs(docs, threshold=0.5).count())
+    run("winnowing_fingerprints", lambda: winnowing_fingerprints(docs).count())
 
     # transcript sketch pass — the north-star workload; throughput metric
     def _transcript_pass():

@@ -645,10 +645,10 @@ def winnowing_fingerprints(docs: DataFrame, k: int = 5, window: int = 4,
 
     Returns (id, fingerprint long) exploded rows — the join key for
     plagiarism/near-dup detection at corpus scale."""
-    prepared = docs.select(
+    prepared = _ensure_parallelism(docs.select(
         F.col(id_col).cast("long").alias(id_col),
         F.coalesce(F.lower(F.col(text_col)), F.lit("")).alias("__t"),
-    )
+    ))
 
     def gen(batches):
         from numpy.lib.stride_tricks import sliding_window_view
