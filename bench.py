@@ -72,11 +72,18 @@ def bench_queries(spark) -> tuple[dict, dict]:
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
+    repeats = int(os.environ.get("SPARK_BENCH_REPEATS", "3"))
 
     def run(name, fn):
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
+        # min-of-N steady state (this VM is 1.5-4x noisy run-to-run; the
+        # scaling pair uses the same policy).  Every lambda rebuilds its
+        # DataFrame, so each run has fresh lineage — no stage reuse.
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     run("hll_orders_global", lambda: collect_sketch(
         sketch_agg(li, [], "l_orderkey", SketchSpec("hll", p=14))).cardinality())
