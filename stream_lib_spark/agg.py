@@ -379,7 +379,30 @@ def merge_partials(partials: DataFrame, keys: list[str], spec: SketchSpec,
         )
 
     if keys:
-        return partials.groupBy(*keys).applyInPandas(merge_fn, schema=out_schema)
+        # shuffle by key, then fold EVERY key group of a partition in one
+        # Arrow stream (mapInPandas).  groupBy.applyInPandas would make a
+        # separate Arrow round trip per GROUP — measured ~8ms of plumbing
+        # per key (200 tools: 1.76s of overhead for 0.1s of merging).
+        # Merge order within a key is partition row order; all sketch
+        # merges are commutative monoids, so results don't depend on it.
+        def merge_groups(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            states: dict[tuple, object] = {}
+            for pdf in batches:
+                for key, blobs in pdf.groupby(keys, dropna=False, sort=False)[STATE_COL]:
+                    key = key if isinstance(key, tuple) else (key,)
+                    sk = states.get(key)
+                    for b in blobs:
+                        s = sketch_from_bytes(bytes(b))
+                        sk = s if sk is None else sk.merge(s)
+                    states[key] = sk
+            rows = []
+            for key, sk in states.items():
+                if finalize_compress and isinstance(sk, (TDigest, KLL)):
+                    sk.compress()
+                rows.append(list(key) + [sk.to_bytes()])
+            yield pd.DataFrame(rows, columns=keys + [STATE_COL])
+
+        return partials.repartition(*keys).mapInPandas(merge_groups, schema=out_schema)
 
     # Global aggregate: explicit single-reducer fold via repartition(1) +
     # mapInPandas. The exchange moves only sketch blobs (one per input
@@ -543,7 +566,32 @@ def _merge_multi(partials: DataFrame, keys: list[str], names: list[str],
         return head
 
     if keys:
-        return partials.groupBy(*keys).applyInPandas(merge_group, schema=out_schema)
+        # one Arrow stream per partition, not per group — see
+        # merge_partials' keyed branch for the measured rationale
+        def merge_groups(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            states: dict[tuple, dict] = {}
+            for pdf in batches:
+                for key, sub in pdf.groupby(keys, dropna=False, sort=False):
+                    key = key if isinstance(key, tuple) else (key,)
+                    st = states.setdefault(key, {})
+                    for n in names:
+                        sk = st.get(n)
+                        for b in sub[n]:
+                            s = sketch_from_bytes(bytes(b))
+                            sk = s if sk is None else sk.merge(s)
+                        st[n] = sk
+            rows = []
+            for key, st in states.items():
+                row = list(key)
+                for n in names:
+                    sk = st[n] if st[n] is not None else specs[n].new()
+                    if isinstance(sk, (TDigest, KLL)):
+                        sk.compress()
+                    row.append(sk.to_bytes())
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=keys + names)
+
+        return partials.repartition(*keys).mapInPandas(merge_groups, schema=out_schema)
 
     if fan_in == "auto":
         fan_in = _auto_fan_in(_estimate_partitions(partials))
