@@ -254,6 +254,24 @@ def sketch_partials(df: DataFrame, keys: list[str], col: str, spec: SketchSpec,
             else:
                 spec.update(sk, arr[~pd.isna(arr)] if arr.dtype == object else arr)
 
+        # Buffer Arrow batches and flush the per-key update in larger
+        # chunks: the python-call overhead is per (key x flush), so a
+        # 200-key partition of N batches pays 200 update chains instead
+        # of 200*N, while memory stays bounded at ~FLUSH_ROWS rows of
+        # (key, int64/float64) columns (~100 MB worst case).
+        FLUSH_ROWS = 1 << 22
+        buf: list[pd.DataFrame] = []
+        buf_rows = 0
+
+        def flush():
+            nonlocal buf, buf_rows
+            if not buf:
+                return
+            pdf = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+            buf, buf_rows = [], 0
+            for key, sub in pdf.groupby(keys, dropna=False, sort=False)["__in"]:
+                upd(key if isinstance(key, tuple) else (key,), sub)
+
         for pdf in batches:
             col_in = pdf["__in"]
             mask = col_in.notna()
@@ -263,10 +281,13 @@ def sketch_partials(df: DataFrame, keys: list[str], col: str, spec: SketchSpec,
             if len(pdf) == 0:
                 continue
             if keys:
-                for key, sub in pdf.groupby(keys, dropna=False, sort=False)["__in"]:
-                    upd(key if isinstance(key, tuple) else (key,), sub)
+                buf.append(pdf)
+                buf_rows += len(pdf)
+                if buf_rows >= FLUSH_ROWS:
+                    flush()
             else:
                 upd((), col_in)
+        flush()
         rows = [list(k) + [s.to_bytes()] for k, s in states.items()]
         if not rows and not keys:
             rows = [[spec.new().to_bytes()]]
