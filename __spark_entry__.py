@@ -406,6 +406,29 @@ def q_ngram_jaccard_dups(spark, sf_dir):
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.8)
 
 
+def q_decontamination_overlap(spark, sf_dir):
+    """Benchmark-decontamination screen: docs sharing 8-word-grams with
+    a probe "test set" (here: every 97th document's text, so the oracle
+    can derive the identical probe set in SQL).  Output = contaminated
+    docs with exact overlap counts — the probe docs themselves plus the
+    fixture's planted near-copies."""
+    from stream_lib_spark.textops import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    probes = docs.where(F.col("doc_id") % 97 == 0).select("text")
+    return ngram_contamination(docs, probes, n=8)
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals (top-2-gram share,
+    duplicate-gram fraction) on a deterministic doc subset — exact
+    integer counts + rounded ratios, fully SQL-mirrorable."""
+    from stream_lib_spark.textops import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 100 == 0)
+    return repetition_stats(docs, n=2)
+
+
 def q_ann_topk(spark, sf_dir):
     _ship(spark)
     from stream_lib_spark.similarity import brute_force_topk
@@ -926,6 +949,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "fingerprint_dup_groups": q_fingerprint_dup_groups,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
+        "decontamination_overlap": q_decontamination_overlap,
+        "repetition_stats": q_repetition_stats,
         "bpe_token_stats": q_bpe_token_stats,
         "winnowing_dup_recall": q_winnowing_dup_recall,
         "ann_topk": q_ann_topk,
@@ -1237,6 +1262,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id_a, id_b, ROUND(CAST(ni AS DOUBLE) / (ca.g + cb.g - ni), 4) AS jaccard "
             "FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b "
             "WHERE CAST(ni AS DOUBLE) / (ca.g + cb.g - ni) >= 0.8 ORDER BY id_a, id_b"
+        ),
+        "decontamination_overlap": (
+            "WITH toks AS ("
+            "  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents"
+            "), exploded AS ("
+            "  SELECT doc_id, unnest([array_to_string(w[i : i + 7], ' ') "
+            "    for i in generate_series(1, greatest(len(w) - 7, 1))]) AS gram FROM toks"
+            "), grams AS (SELECT DISTINCT doc_id, gram FROM exploded"
+            "), probe AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0"
+            "), hits AS ("
+            "  SELECT doc_id, COUNT(*) AS n_contaminated FROM grams JOIN probe USING (gram) GROUP BY doc_id"
+            "), tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id) "
+            "SELECT h.doc_id, n_contaminated, n_grams, "
+            "ROUND(CAST(n_contaminated AS DOUBLE) / n_grams, 4) AS contamination_rate "
+            "FROM hits h JOIN tot USING (doc_id) ORDER BY doc_id"
+        ),
+        "repetition_stats": (
+            "WITH toks AS ("
+            "  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w "
+            "  FROM documents WHERE doc_id % 100 = 0"
+            "), exploded AS ("
+            "  SELECT doc_id, unnest([array_to_string(w[i : i + 1], ' ') "
+            "    for i in generate_series(1, greatest(len(w) - 1, 1))]) AS gram FROM toks"
+            "), per AS (SELECT doc_id, gram, COUNT(*) AS c FROM exploded GROUP BY 1, 2) "
+            "SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams, COUNT(*) AS n_distinct, "
+            "CAST(MAX(c) AS BIGINT) AS max_gram_count, "
+            "ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 4) AS top_gram_share, "
+            "ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c), 4) AS dup_gram_frac "
+            "FROM per GROUP BY doc_id ORDER BY doc_id"
         ),
         "image_features": (
             "WITH hx AS ("

@@ -451,11 +451,13 @@ def simhash_near_dups(docs: DataFrame, hamming_max: int = 3,
     )
 
 
-def _word_ngrams(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
-    """Distinct (id, gram) rows of word n-grams, with the whole-text
-    fallback for docs shorter than n words (same semantics as the
-    MinHash shingle kernel)."""
-    return docs.select(
+def _word_ngrams(docs: DataFrame, n: int, id_col: str, text_col: str,
+                 distinct: bool = True) -> DataFrame:
+    """(id, gram) rows of word n-grams, with the whole-text fallback for
+    docs shorter than n words (same semantics as the MinHash shingle
+    kernel).  ``distinct=False`` keeps every occurrence (repetition
+    statistics need multiplicities)."""
+    out = docs.select(
         id_col,
         F.explode(
             F.transform(
@@ -468,7 +470,8 @@ def _word_ngrams(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFra
                 ),
             )
         ).alias("gram"),
-    ).distinct()
+    )
+    return out.distinct() if distinct else out
 
 
 def cap_doc_frequency(exploded: DataFrame, key: str, max_doc_freq: int) -> DataFrame:
@@ -747,4 +750,75 @@ def winnowing_similar_pairs(docs: DataFrame, k: int = 5, window: int = 4,
         .agg(F.count("*").alias("shared_fingerprints"))
         .where(F.col("shared_fingerprints") >= min_shared)
         .orderBy("id_a", "id_b")
+    )
+
+
+# ----------------------------------------------- decontamination screen
+
+def ngram_contamination(docs: DataFrame, probes: DataFrame, n: int = 8,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        probe_text_col: str = "text") -> DataFrame:
+    """Benchmark-decontamination screen: which training documents share
+    word n-grams with a probe set (held-out test/eval texts), and how
+    much — the standard pre-training hygiene pass (n=8..13 word overlap
+    is the usual published criterion).
+
+    Scale shape: the probe side (test sets) is tiny relative to the
+    corpus, so its DISTINCT gram set is broadcast and the corpus grams
+    stream through one equi-join — no shuffle of the corpus beyond the
+    per-doc aggregation.  For probe sets too large to broadcast, screen
+    with a Bloom filter of probe-gram hashes first (``bloom_build`` /
+    ``bloom_probe``) and verify survivors through this exact join.
+
+    Returns one row per CONTAMINATED doc:
+    (id, n_contaminated, n_grams, contamination_rate)."""
+    doc_grams = _word_ngrams(docs, n, id_col, text_col)
+    probe_grams = (
+        _word_ngrams(probes.select(F.lit(0).alias("__pid"), F.col(probe_text_col)),
+                     n, "__pid", probe_text_col)
+        .select("gram").distinct()
+    )
+    hits = (
+        doc_grams.join(F.broadcast(probe_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    totals = doc_grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    return (
+        hits.join(totals, id_col)
+        .select(
+            id_col, "n_contaminated", "n_grams",
+            F.round(F.col("n_contaminated") / F.col("n_grams"), 4).alias("contamination_rate"),
+        )
+        .orderBy(id_col)
+    )
+
+
+# ------------------------------------------------- repetition signals
+
+def repetition_stats(docs: DataFrame, n: int = 2,
+                     id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals per document: total word
+    n-gram occurrences, distinct n-grams, the hottest n-gram's count,
+    top-gram share (fraction of all n-gram slots taken by the single
+    hottest gram) and duplicate-gram fraction (1 - distinct/total).
+    High values flag boilerplate/spammy documents for quality filtering.
+
+    Pure JVM expressions (split/explode/groupBy) — whole-stage codegen;
+    the only shuffle keys on (doc, gram) then (doc)."""
+    grams = _word_ngrams(docs, n, id_col, text_col, distinct=False)
+    per_gram = grams.groupBy(id_col, "gram").agg(F.count("*").alias("c"))
+    return (
+        per_gram.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("max_gram_count"),
+        )
+        .select(
+            id_col, "n_grams", "n_distinct", "max_gram_count",
+            F.round(F.col("max_gram_count") / F.col("n_grams"), 4).alias("top_gram_share"),
+            F.round(F.lit(1.0) - F.col("n_distinct") / F.col("n_grams"), 4).alias("dup_gram_frac"),
+        )
+        .orderBy(id_col)
     )

@@ -220,3 +220,36 @@ def test_cc_chain_converges_in_log_rounds(spark):
     rows = out.collect()
     assert len(rows) == 1000
     assert {r["canonical_id"] for r in rows} == {0}
+
+
+def test_ngram_contamination_planted(spark):
+    """Planted contamination: doc 10 embeds a probe sentence verbatim;
+    unrelated docs share no 8-gram with the probe set."""
+    from stream_lib_spark.textops import ngram_contamination
+
+    probe_text = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [(0, probe_text)]
+    for i in range(1, 10):
+        rows.append((i, " ".join(f"clean{i}w{j}" for j in range(40))))
+    rows.append((10, "prefix words here " + probe_text + " suffix words"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    probes = spark.createDataFrame([(probe_text,)], "text string")
+    out = {r["doc_id"]: r for r in ngram_contamination(docs, probes, n=8).collect()}
+    assert set(out) == {0, 10}
+    assert out[0]["contamination_rate"] == 1.0  # the probe doc itself
+    assert out[10]["n_contaminated"] == 3  # the probe's three 8-grams survive intact
+    assert 0 < out[10]["contamination_rate"] < 1
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    from stream_lib_spark.textops import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam"),
+         (2, " ".join(f"w{j}" for j in range(30)))],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs, n=2).collect()}
+    assert out[1]["n_distinct"] == 1 and out[1]["top_gram_share"] == 1.0
+    assert out[1]["dup_gram_frac"] == 0.8  # 5 slots, 1 distinct
+    assert out[2]["dup_gram_frac"] == 0.0 and out[2]["top_gram_share"] < 0.1
