@@ -905,6 +905,28 @@ def q_transcript_latency_quantiles(spark, sf_dir):
     return spark.createDataFrame(rows, "q double, within_bound boolean")
 
 
+def q_audio_features(spark, sf_dir):
+    """Multimodal audio plumbing gate: the fake decoder views the
+    SQL-derivable payload bytes as 16-bit LE amplitudes; outputs are
+    exact integers + one power-of-two mean, bit-exact in DuckDB."""
+    _ship(spark)
+    from stream_lib_spark.multimodal import extract_audio_features, synthesize_media
+
+    return extract_audio_features(synthesize_media(spark, n=128)).orderBy("media_id")
+
+
+def q_video_frame_sample(spark, sf_dir):
+    """Multimodal frame-sampling gate: explode the deterministic frame
+    schedule (duration_ms is arithmetic, not hashed) and fingerprint
+    each frame with a 60-bit md5 value both engines parse identically."""
+    _ship(spark)
+    from stream_lib_spark.multimodal import sample_video_frames, synthesize_media
+
+    return sample_video_frames(synthesize_media(spark, n=128), every_ms=60_000).orderBy(
+        "media_id", "frame_idx"
+    )
+
+
 def q_image_features(spark, sf_dir):
     """Multimodal decode plumbing gate: the deterministic fake table is
     SQL-derivable (kind = id%3, payload = sha256 hex bytes), and the
@@ -963,6 +985,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_tool_topk": q_transcript_tool_topk,
         "transcript_latency_quantiles": q_transcript_latency_quantiles,
         "image_features": q_image_features,
+        "audio_features": q_audio_features,
+        "video_frame_sample": q_video_frame_sample,
     }
 
 
@@ -1262,6 +1286,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id_a, id_b, ROUND(CAST(ni AS DOUBLE) / (ca.g + cb.g - ni), 4) AS jaccard "
             "FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b "
             "WHERE CAST(ni AS DOUBLE) / (ca.g + cb.g - ni) >= 0.8 ORDER BY id_a, id_b"
+        ),
+        "audio_features": (
+            "WITH hx AS ("
+            "  SELECT i AS media_id, sha256('payload-' || CAST(i AS VARCHAR)) AS h "
+            "  FROM generate_series(0, 127) t(i) WHERE i % 3 = 1"
+            "), s AS ("
+            "  SELECT media_id, ascii(substring(h, 2*p - 1, 1)) + 256 * ascii(substring(h, 2*p, 1)) AS v "
+            "  FROM hx, generate_series(1, 32) g(p)"
+            ") SELECT media_id, COUNT(*) AS n_samples, CAST(SUM(v) AS BIGINT) AS amp_sum, "
+            "CAST(MIN(v) AS BIGINT) AS amp_min, CAST(MAX(v) AS BIGINT) AS amp_max, "
+            "CAST(SUM(v) AS DOUBLE) / 32.0 AS mean_amp "
+            "FROM s GROUP BY media_id ORDER BY media_id"
+        ),
+        "video_frame_sample": (
+            "WITH vids AS ("
+            "  SELECT i AS media_id, (i * 9973) % 600000 + 100 AS duration_ms "
+            "  FROM generate_series(0, 127) t(i) WHERE i % 3 = 2"
+            "), frames AS ("
+            "  SELECT media_id, unnest(generate_series(0, CAST(floor(duration_ms / 60000) AS INT))) AS frame_idx "
+            "  FROM vids"
+            ") SELECT media_id, CAST(frame_idx AS INT) AS frame_idx, "
+            "CAST(CAST('0x' || substring(md5(CAST(media_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT) AS frame_fingerprint "
+            "FROM frames ORDER BY media_id, frame_idx"
         ),
         "decontamination_overlap": (
             "WITH toks AS ("

@@ -44,7 +44,9 @@ def synthesize_media(spark, n: int = 256, seed: int = 42) -> DataFrame:
         F.sha2(F.concat(F.lit("payload-"), F.col("id").cast("string")), 256).cast("binary").alias("payload"),
         (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1920)) + 16).cast("int").alias("width"),
         (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1080)) + 16).cast("int").alias("height"),
-        (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(600000)) + 100).cast("int").alias("duration_ms"),
+        # arithmetic (not hashed) so the DuckDB gate oracle can re-derive
+        # frame schedules exactly
+        ((F.col("id") * 9973) % 600000 + 100).cast("int").alias("duration_ms"),
     )
     return df
 
@@ -106,7 +108,10 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000,
                         deterministic_fake: bool = True) -> DataFrame:
     """Frame-sampling plumbing: one output row per sampled timestamp
     (the real decoder would emit the frame bytes; the fake emits a
-    deterministic frame fingerprint)."""
+    deterministic frame fingerprint).  The fingerprint is the first 15
+    hex chars of md5(media_id ':' frame_idx) — 60 bits, so it is
+    non-negative in both Spark's signed long and DuckDB's parse, making
+    the operator oracle-checkable end-to-end."""
     if not deterministic_fake:
         raise DecoderUnavailable("video codecs not installed in this container")
     frames = media.where(F.col("kind") == "video").select(
@@ -115,6 +120,43 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000,
             F.sequence(F.lit(0), (F.col("duration_ms") / every_ms).cast("int"))
         ).alias("frame_idx"),
     )
+    key = F.concat(F.col("media_id").cast("string"), F.lit(":"),
+                   F.col("frame_idx").cast("string"))
     return frames.withColumn(
-        "frame_fingerprint", F.xxhash64("media_id", "frame_idx")
+        "frame_fingerprint", F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
     )
+
+
+def _decode_audio_stub(payload: bytes, deterministic_fake: bool) -> np.ndarray:
+    if not deterministic_fake:
+        raise DecoderUnavailable(
+            "audio codecs not installed in this container; "
+            "pass deterministic_fake=True or deploy with torchaudio/soundfile"
+        )
+    # deterministic fake: view the payload bytes as 16-bit LE amplitudes
+    buf = np.frombuffer(payload or b"\0\0", dtype=np.uint8)
+    if len(buf) % 2:
+        buf = buf[:-1]
+    return buf.view("<u2").astype(np.int64)
+
+
+def extract_audio_features(media: DataFrame, deterministic_fake: bool = True) -> DataFrame:
+    """Decode → waveform summary per audio row, batched via mapInPandas
+    (per-row decode is inherent to codecs; everything after is numpy).
+    Outputs are exact integers plus one power-of-two-divided mean, so
+    the DuckDB gate oracle reproduces every value bit-for-bit."""
+    schema = ("media_id long, n_samples long, amp_sum long, "
+              "amp_min long, amp_max long, mean_amp double")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w = _decode_audio_stub(bytes(payload), deterministic_fake)
+                n = len(w)
+                s = int(w.sum())
+                rows.append([int(mid), n, s, int(w.min()), int(w.max()), s / float(n)])
+            yield pd.DataFrame(rows, columns=["media_id", "n_samples", "amp_sum",
+                                              "amp_min", "amp_max", "mean_amp"])
+
+    return media.where(F.col("kind") == "audio").select("media_id", "payload").mapInPandas(gen, schema=schema)

@@ -51,3 +51,34 @@ def test_video_frame_sampling_counts(spark):
     )
     assert frames.count() == expected
     assert frames.select("media_id", "frame_idx").distinct().count() == frames.count()
+
+
+def test_audio_features_exact(spark):
+    import hashlib
+
+    from stream_lib_spark.multimodal import extract_audio_features
+
+    media = synthesize_media(spark, n=30)
+    out = {r["media_id"]: r for r in extract_audio_features(media).collect()}
+    assert set(out) == {i for i in range(30) if i % 3 == 1}
+    # recompute one waveform independently from the payload definition
+    mid = 1
+    h = hashlib.sha256(f"payload-{mid}".encode()).hexdigest().encode()
+    w = np.frombuffer(h, dtype=np.uint8).astype(np.int64)
+    samples = w[0::2] + 256 * w[1::2]
+    r = out[mid]
+    assert r["n_samples"] == 32
+    assert r["amp_sum"] == int(samples.sum())
+    assert (r["amp_min"], r["amp_max"]) == (int(samples.min()), int(samples.max()))
+    assert r["mean_amp"] == samples.sum() / 32.0
+
+
+def test_decoder_unavailable_raises(spark):
+    from stream_lib_spark.multimodal import DecoderUnavailable, extract_audio_features
+
+    media = synthesize_media(spark, n=6)
+    try:
+        extract_audio_features(media, deterministic_fake=False).collect()
+        raise AssertionError("expected decode failure")
+    except Exception as e:  # Spark wraps the executor-side exception
+        assert "DecoderUnavailable" in str(type(e)) or "audio codecs" in str(e)
