@@ -14,12 +14,15 @@ oracle for each.  Two oracle styles:
   returns the same exact value and TRUE — so a sketch drifting out of
   contract fails the value-hash gate, not just a soft check.
 
-Round 2: EVERY entry is oracle-checked — the near-dup/ANN family runs
-as recall gates over SQL-enumerable ground truth (exact Jaccard /
-brute-force SimHash via a SQL-portable md5 word hash / planted
-near-duplicates / exact top-k), multimodal features are bit-exact
-integer-sum doubles DuckDB re-derives, and the wire-interop gate
-replays golden vectors from the javac-compiled reference.
+Rounds 2-3: EVERY entry (46) is oracle-checked — the near-dup/ANN
+family runs as recall gates over SQL-enumerable ground truth (exact
+Jaccard / brute-force SimHash via a SQL-portable md5 word hash /
+planted near-duplicates / exact top-k), the multimodal decode plumbing
+(image features, audio waveform stats, video frame schedules) is
+bit-exact integer/power-of-two math DuckDB re-derives, the
+decontamination/repetition screens are exact joins, and the
+wire-interop gate replays golden vectors from the javac-compiled
+reference across nine codec families.
 """
 
 from __future__ import annotations
