@@ -5,7 +5,7 @@ and ``util/ObyCount.java:37-96``, as a cluster job).
 Usage (sandbox / cluster — identical):
 
     spark-submit --py-files stream_lib_spark.zip \
-        -m stream_lib_spark.jobs.run_sketches \
+        stream_lib_spark/jobs/launch_sketches.py \
         --input /data/transcripts \
         --ops hll:conv_id:p=14 cms:text:eps=1e-4,confidence=0.99 \
               tdigest:latency_s:compression=100 topk:tool:capacity=256 \

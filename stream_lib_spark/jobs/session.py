@@ -26,6 +26,15 @@ def package_zip() -> str:
     import stream_lib_spark
 
     pkg_dir = os.path.dirname(os.path.abspath(stream_lib_spark.__file__))
+    if not os.path.isdir(pkg_dir):
+        # the package is already running FROM a --py-files zip (e.g.
+        # inside a spark-submitted driver): that zip is the artifact
+        zip_path = pkg_dir
+        while zip_path and not zip_path.lower().endswith(".zip"):
+            zip_path = os.path.dirname(zip_path)
+        if zip_path and os.path.isfile(zip_path):
+            return zip_path
+        raise RuntimeError(f"cannot locate package source at {pkg_dir}")
     out = os.path.join(tempfile.gettempdir(), "stream_lib_spark-pyfiles.zip")
     newest_src = max(
         os.path.getmtime(os.path.join(root, f))
