@@ -24,8 +24,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SCALING_PARQUET = "/tmp/bench_transcripts_scaling_v2.parquet"
-N_CONVS = 480_000  # ~20M turns
+SCALING_PARQUET = os.environ.get("SCALING_INPUT", "/tmp/bench_transcripts_scaling_v3.parquet")
+N_CONVS = 240_000  # ~10M turns: big enough that a timed run is ~50s at N=1
+# (fixed costs <4%), small enough that the 3-round N-vs-4N pair fits the
+# per-round bench budget
 
 
 def materialize(spark):

@@ -15,13 +15,15 @@ monoid at the end (the tree-merge phase, timed separately).
 Timing policy (round 3): the sandbox VM is 1.5-2x noisy run-to-run, so
 a single timed run per level is not evidence — round 2's driver
 artifact recorded efficiency 0.528 from one noisy 4-worker sample while
-three manual runs measured 0.803-0.856.  Each worker therefore runs one
-warm-up pass then ``ROUNDS`` barrier-synchronized timed passes (fresh
-DataFrame lineage per pass — same-object re-collects skip shuffle
-stages and look impossibly fast); the level's wall time is the MIN
-across rounds (steady-state throughput, the quantity the north rule's
-efficiency ratio is defined over), with every per-round wall time
-reported so the noise envelope is visible in the artifact.
+three manual runs measured 0.803-0.856.  Each worker therefore runs
+``ROUNDS`` barrier-synchronized timed passes (fresh DataFrame lineage
+per pass — same-object re-collects skip shuffle stages and look
+impossibly fast); round 1 doubles as the warm-up (JIT, python workers,
+page cache) and the level's wall time is the MIN across rounds
+(steady-state throughput, the quantity the north rule's efficiency
+ratio is defined over), with every per-round wall time reported so the
+noise envelope — including the cold first round — is visible in the
+artifact.
 
 Usage:
   python tools/bench_scaling_multiproc.py              # N=1 vs 4N=4
@@ -39,7 +41,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-INPUT = os.environ.get("SCALING_INPUT", "/tmp/bench_transcripts_scaling_v2.parquet")
+INPUT = os.environ.get("SCALING_INPUT", "/tmp/bench_transcripts_scaling_v3.parquet")
 WORKDIR = "/tmp/scaling_multiproc"
 ROUNDS = int(os.environ.get("SCALING_ROUNDS", "3"))
 # cores per simulated executor container (the taskset pin width).  An
@@ -84,7 +86,9 @@ def worker(idx: int, n_workers: int, run_id: str, rounds: int) -> None:
         ).collect()
 
     n = df.count()
-    rows = job()  # warm: JIT, python workers, page cache
+    # no separate warm pass: ROUND 1 doubles as the warm-up (JIT, python
+    # workers, page cache) and min-of-ROUNDS discards it
+    rows = None
     rundir = os.path.join(WORKDIR, run_id)
     secs = []
     for r in range(rounds):
