@@ -136,7 +136,7 @@ def run_scaling() -> dict:
     from tools.bench_scaling_multiproc import INPUT, orchestrate
 
     if not os.path.exists(os.path.join(INPUT, "_SUCCESS")):
-        # materialize the ~20M-turn scaling input once (excluded from timings)
+        # materialize the ~10M-turn scaling input once (excluded from timings)
         from tools.bench_scaling import materialize
 
         spark = _session(CPUS)
@@ -154,8 +154,12 @@ def _session(cpus: int):
 def main():
     # scaling pair runs by DEFAULT so the per-round bench artifact carries
     # the north-rule evidence (>=0.8 efficiency N→4N); skip with
-    # --no-scaling when iterating locally
+    # --no-scaling when iterating locally.  It runs FIRST, before any
+    # bench JVM exists in this process: a stopped SparkContext still
+    # leaves the 16g py4j JVM (GC/compiler thread pools) alive, and its
+    # background noise measurably skews the 4-worker level.
     scaling = "--no-scaling" not in sys.argv
+    scaling_out = run_scaling() if scaling else None
     spark = _session(CPUS)
     timings, extras = bench_queries(spark)
     spark.stop()
@@ -167,8 +171,8 @@ def main():
         "sf": _sf(),
         **extras,
     }
-    if scaling:
-        out["scaling"] = run_scaling()
+    if scaling_out is not None:
+        out["scaling"] = scaling_out
     print(json.dumps(out))
 
 

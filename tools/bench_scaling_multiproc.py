@@ -16,14 +16,12 @@ Timing policy (round 3): the sandbox VM is 1.5-2x noisy run-to-run, so
 a single timed run per level is not evidence — round 2's driver
 artifact recorded efficiency 0.528 from one noisy 4-worker sample while
 three manual runs measured 0.803-0.856.  Each worker therefore runs
-``ROUNDS`` barrier-synchronized timed passes (fresh DataFrame lineage
-per pass — same-object re-collects skip shuffle stages and look
-impossibly fast); round 1 doubles as the warm-up (JIT, python workers,
-page cache) and the level's wall time is the MIN across rounds
-(steady-state throughput, the quantity the north rule's efficiency
-ratio is defined over), with every per-round wall time reported so the
-noise envelope — including the cold first round — is visible in the
-artifact.
+one warm-up pass then ``ROUNDS`` barrier-synchronized timed passes
+(fresh DataFrame lineage per pass — same-object re-collects skip
+shuffle stages and look impossibly fast); the level's wall time is the
+MIN across rounds (steady-state throughput, the quantity the north
+rule's efficiency ratio is defined over), with every per-round wall
+time reported so the noise envelope is visible in the artifact.
 
 Usage:
   python tools/bench_scaling_multiproc.py              # N=1 vs 4N=4
@@ -86,9 +84,9 @@ def worker(idx: int, n_workers: int, run_id: str, rounds: int) -> None:
         ).collect()
 
     n = df.count()
-    # no separate warm pass: ROUND 1 doubles as the warm-up (JIT, python
-    # workers, page cache) and min-of-ROUNDS discards it
-    rows = None
+    rows = job()  # warm: JIT, python workers, page cache (measured: the
+    # 4-worker level needs 2+ passes to reach steady state, so without
+    # this the min-of-3 can land on a still-cold round)
     rundir = os.path.join(WORKDIR, run_id)
     secs = []
     for r in range(rounds):
