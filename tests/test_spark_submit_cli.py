@@ -15,7 +15,7 @@ SF = "/root/testdata/sf0.001"
 
 
 @pytest.mark.slow
-def test_spark_submit_py_files_end_to_end(tmp_path):
+def test_spark_submit_py_files_end_to_end(spark, tmp_path):
     spark_submit = shutil.which("spark-submit")
     if spark_submit is None:
         pytest.skip("spark-submit not on PATH")
@@ -37,22 +37,19 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
     stats = json.loads([l for l in r.stdout.splitlines() if l.startswith("{")][-1])
     assert stats["rows"] > 0
 
-    # read the job's output with an independent session and finalize
+    # verify the job's output through the shared test session (do NOT
+    # create-and-stop another one: getOrCreate() returns the fixture's
+    # session, and stopping it would kill every later test)
     from stream_lib_spark.agg import sketch_from_bytes
-    from stream_lib_spark.jobs.session import get_spark
 
-    spark = get_spark("cli-check", cpus=4)
-    try:
-        ev = spark.read.parquet(f"{SF}/events.parquet")
-        exact = ev.select("user_id").distinct().count()
-        amounts = np.sort(np.array([r2["value"] for r2 in ev.select("value").collect()], dtype=np.float64))
-        row = spark.read.parquet(str(out)).collect()[0]
-        hll = sketch_from_bytes(bytes(row["hll_user_id"]))
-        rse = 1.04 / (1 << 14) ** 0.5
-        assert abs(hll.cardinality() - exact) <= 4 * rse * max(exact, 1)
-        td = sketch_from_bytes(bytes(row["tdigest_value"]))
-        med = td.quantile(0.5)
-        rank = np.searchsorted(amounts, med, side="right") / len(amounts)
-        assert abs(rank - 0.5) <= 0.02 + 2.0 / len(amounts)
-    finally:
-        spark.stop()
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    exact = ev.select("user_id").distinct().count()
+    amounts = np.sort(np.array([r2["value"] for r2 in ev.select("value").collect()], dtype=np.float64))
+    row = spark.read.parquet(str(out)).collect()[0]
+    hll = sketch_from_bytes(bytes(row["hll_user_id"]))
+    rse = 1.04 / (1 << 14) ** 0.5
+    assert abs(hll.cardinality() - exact) <= 4 * rse * max(exact, 1)
+    td = sketch_from_bytes(bytes(row["tdigest_value"]))
+    med = td.quantile(0.5)
+    rank = np.searchsorted(amounts, med, side="right") / len(amounts)
+    assert abs(rank - 0.5) <= 0.02 + 2.0 / len(amounts)
