@@ -709,6 +709,18 @@ def q_wire_interop(spark, sf_dir):
     rows.append(("adaptivecounting", n_ac, bool(ok_ac)))
     rows.append(("loglog", n_ll, bool(ok_ll)))
 
+    from stream_lib_spark.sketches.loglog_wire import ReferenceHyperLogLog
+
+    ok, n = True, 0
+    for log2m, cnt, card, b64 in _csv.reader(open(f"{gd}/hllc_wire_golden.csv")):
+        blob = base64.b64decode(b64)
+        mine = ReferenceHyperLogLog.new(int(log2m))
+        mine.add([f"item-{i}" for i in range(int(cnt))])
+        ok &= mine.to_bytes() == blob
+        ok &= ReferenceHyperLogLog.from_bytes(blob).cardinality() == int(card)
+        n += 1
+    rows.append(("hll_classic", n, bool(ok)))
+
     from stream_lib_spark.sketches.qdigest_wire import (
         from_reference_bytes as qd_from,
         reference_quantile,
@@ -1120,6 +1132,7 @@ def oracle_sql() -> dict[str, str]:
             "('bloom', CAST(2 AS BIGINT), TRUE), "
             "('cms', CAST(3 AS BIGINT), TRUE), "
             "('countthenestimate', CAST(7 AS BIGINT), TRUE), "
+            "('hll_classic', CAST(3 AS BIGINT), TRUE), "
             "('hllpp', CAST(30 AS BIGINT), TRUE), "
             "('linearcounting', CAST(3 AS BIGINT), TRUE), "
             "('loglog', CAST(3 AS BIGINT), TRUE), "

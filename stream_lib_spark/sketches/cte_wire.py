@@ -300,19 +300,8 @@ class ReferenceCTE:
             from .hll_wire import from_reference_bytes
             return from_reference_bytes(b)
         if t == TYPE_HLC:
-            # HyperLogLog.getBytes (HyperLogLog.java:200-216): int log2m,
-            # int byte-size, then the RegisterSet's packed 5-bit words
-            import numpy as np
-
-            from .hll import FORMAT_DENSE, HllPlusPlus
-            from .hll_wire import _unpack_registers
-
-            log2m, nbytes = struct.unpack_from(">ii", b, 0)
-            words = np.frombuffer(b, dtype=">i4", count=nbytes // 4, offset=8).astype(np.uint32)
-            sk = HllPlusPlus.new(p=log2m, sp=0, estimator="classic")
-            sk.fmt = FORMAT_DENSE
-            sk.registers = _unpack_registers(words, 1 << log2m)
-            return sk
+            from .loglog_wire import ReferenceHyperLogLog
+            return ReferenceHyperLogLog.from_bytes(b)
         raise ValueError(f"unsupported estimator type {t}")
 
 

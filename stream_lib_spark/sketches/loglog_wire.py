@@ -193,3 +193,80 @@ class ReferenceAdaptiveCounting(ReferenceLogLog):
             # Java Math.round = floor(x + 0.5), NOT banker's rounding
             return math.floor(-self.m * math.log(B) + 0.5)
         return super().cardinality()
+
+
+class ReferenceHyperLogLog:
+    """Classic HyperLogLog interop (``cardinality/HyperLogLog.java``).
+
+    Wire format (``HyperLogLog.java:200-216``): big-endian int log2m,
+    int byte-size, then the RegisterSet's packed words (6 five-bit
+    registers per 32-bit int, ``RegisterSet.java:19-60``).  Update path
+    (``HyperLogLog.java:157-171``): murmur2-32 of the item, bucket =
+    h >>> (32-log2m), and rho replicates the reference's exact
+    expression ``(h << log2m) | (1 << (log2m-1)) + 1`` — Java precedence
+    makes that ``| (guard + 1)``, which we reproduce verbatim for
+    bit-parity.  Estimate (``:174-194``): alphaMM / sum(2^-reg) with the
+    linear-counting small-range switch at 2.5m, Math.round semantics."""
+
+    def __init__(self, log2m: int, registers: np.ndarray):
+        self.log2m, self.m = log2m, 1 << log2m
+        self.registers = registers.astype(np.uint8)
+
+    @classmethod
+    def new(cls, log2m: int) -> "ReferenceHyperLogLog":
+        return cls(log2m, np.zeros(1 << log2m, dtype=np.uint8))
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "ReferenceHyperLogLog":
+        import struct
+
+        from .hll_wire import _unpack_registers
+
+        log2m, nbytes = struct.unpack_from(">ii", data, 0)
+        words = np.frombuffer(data, dtype=">i4", count=nbytes // 4, offset=8).astype(np.uint32)
+        return cls(log2m, _unpack_registers(words, 1 << log2m))
+
+    def to_bytes(self) -> bytes:
+        import struct
+
+        from .hll_wire import _pack_registers
+
+        words = _pack_registers(self.registers)
+        return struct.pack(">ii", self.log2m, 4 * len(words)) + words.astype(">i4").tobytes()
+
+    def add(self, items) -> "ReferenceHyperLogLog":
+        h = _murmur32_items(items).view(np.uint32)
+        k = np.uint32(self.log2m)
+        j = (h >> (np.uint32(32) - k)).astype(np.int64)
+        guard = np.uint32((1 << (self.log2m - 1)) + 1)  # Java precedence quirk
+        x = ((h << k) | guard) & np.uint32(_M32)
+        nlz = np.uint8(31) - np.floor(np.log2(x.astype(np.float64))).astype(np.uint8)
+        np.maximum.at(self.registers, j, nlz + np.uint8(1))
+        return self
+
+    def merge(self, other: "ReferenceHyperLogLog") -> "ReferenceHyperLogLog":
+        if other.log2m != self.log2m:
+            raise SketchMergeError("log2m mismatch")
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def cardinality(self) -> int:
+        regs = self.registers.astype(np.float64)
+        alpha_mm = self._alpha_mm()
+        estimate = alpha_mm / float(np.sum(np.exp2(-regs)))
+        if estimate <= 2.5 * self.m:
+            zeros = float(np.count_nonzero(self.registers == 0))
+            return math.floor(self.m * math.log(self.m / zeros) + 0.5)
+        return math.floor(estimate + 0.5)
+
+    def _alpha_mm(self) -> float:
+        m = self.m
+        if self.log2m == 4:
+            a = 0.673
+        elif self.log2m == 5:
+            a = 0.697
+        elif self.log2m == 6:
+            a = 0.709
+        else:
+            a = 0.7213 / (1 + 1.079 / m)
+        return a * m * m

@@ -62,3 +62,29 @@ def test_lookup3ycs64_matches_spec_identities():
     assert lookup3ycs64("") == lookup3ycs64("")
     # unicode (non-BMP) goes through the code-point path without error
     assert isinstance(lookup3ycs64("héllo \U0001F600"), int)
+
+
+HLLC_GOLDEN = os.path.join(os.path.dirname(__file__), "..", "tools", "golden",
+                           "hllc_wire_golden.csv")
+
+
+def test_classic_hll_register_and_estimate_parity():
+    from stream_lib_spark.sketches.loglog_wire import ReferenceHyperLogLog
+
+    seen = 0
+    for log2m, n, card, b64 in csv.reader(open(HLLC_GOLDEN)):
+        blob = base64.b64decode(b64)
+        mine = ReferenceHyperLogLog.new(int(log2m))
+        mine.add([f"item-{i}" for i in range(int(n))])
+        assert mine.to_bytes() == blob, f"log2m={log2m} register mismatch"
+        imported = ReferenceHyperLogLog.from_bytes(blob)
+        assert imported.cardinality() == int(card)
+        assert imported.to_bytes() == blob
+        # split/merge = whole
+        parts = [ReferenceHyperLogLog.new(int(log2m)) for _ in range(3)]
+        for i in range(int(n)):
+            parts[i % 3].add([f"item-{i}"])
+        merged = parts[0].merge(parts[1]).merge(parts[2])
+        assert merged.to_bytes() == blob
+        seen += 1
+    assert seen == 3
