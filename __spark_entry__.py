@@ -749,6 +749,25 @@ def q_wire_interop(spark, sf_dir):
         n += 1
     rows.append(("countthenestimate", n, bool(ok)))
 
+    from stream_lib_spark.sketches.spacesaving_wire import (
+        parse_reference_bytes as ss_parse,
+        to_reference_bytes as ss_to,
+    )
+
+    ok, n = True, 0
+    for cap, _cnt, topk, b64 in _csv.reader(open(f"{gd}/spacesaving_wire_golden.csv")):
+        blob = base64.b64decode(b64)
+        ss = ss_parse(blob)
+        ok &= ss.capacity == int(cap) and ss_to(ss) == blob  # byte roundtrip
+        expected = []
+        if topk:
+            for part in topk.split(";"):
+                item, c, e = part.rsplit(":", 2)
+                expected.append((item, int(c), int(e)))
+        ok &= ss.top_k(int(cap)) == expected  # reference's own topK rows
+        n += 1
+    rows.append(("spacesaving", n, bool(ok)))
+
     return spark.createDataFrame(rows, "kind string, n_cases long, all_ok boolean").orderBy("kind")
 
 
@@ -1137,6 +1156,7 @@ def oracle_sql() -> dict[str, str]:
             "('linearcounting', CAST(3 AS BIGINT), TRUE), "
             "('loglog', CAST(3 AS BIGINT), TRUE), "
             "('qdigest', CAST(3 AS BIGINT), TRUE), "
+            "('spacesaving', CAST(5 AS BIGINT), TRUE), "
             "('tdigest', CAST(6 AS BIGINT), TRUE)) AS t(kind, n_cases, all_ok) "
             "ORDER BY kind"
         ),
