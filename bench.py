@@ -5,10 +5,22 @@ Prints ONE JSON line:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
    "queries": {...per-query sec...}, "sf": ..., "turns_per_sec": ...}
 
-``python bench.py --scaling`` additionally runs the N vs 4N
-executor-scaling pair (isolated processes; see BENCH.md and
-tools/bench_scaling_multiproc.py) and reports throughput at both
-levels + scaling efficiency (north rule: >= 0.8).
+By default the run also includes the N vs 4N executor-scaling pair
+(isolated processes; see BENCH.md and tools/bench_scaling_multiproc.py,
+skip with --no-scaling) and the planted hot-key skew section
+(tools/bench_skew.py, skip with --no-skew).
+
+TIMING POLICY (pinned since round 3 — compare rounds like-for-like):
+  * every per-query number is the MIN of SPARK_BENCH_REPEATS (default 3)
+    steady-state runs; the first-touch scan, Python-worker spin-up, JIT
+    and Arrow-runner warm-up are paid ONCE up front by explicit warm-up
+    statements and are excluded from every timing;
+  * the scaling pair uses the same min-of-3 policy with barrier-
+    synchronized, taskset-pinned single-core workers, and runs FIRST,
+    before any other JVM exists in the process tree;
+  * rounds 1-2 were single-shot timings — numbers from those rounds are
+    NOT directly comparable to round >= 3 (this VM varies 1.5-4x run to
+    run; see BENCH.md "sandbox performance envelope").
 """
 
 from __future__ import annotations
@@ -152,6 +164,9 @@ def _session(cpus: int):
 
 
 def main():
+    if "--help" in sys.argv or "-h" in sys.argv:
+        print(__doc__)
+        return
     # scaling pair runs by DEFAULT so the per-round bench artifact carries
     # the north-rule evidence (>=0.8 efficiency N→4N); skip with
     # --no-scaling when iterating locally.  It runs FIRST, before any
@@ -163,6 +178,15 @@ def main():
     spark = _session(CPUS)
     timings, extras = bench_queries(spark)
     spark.stop()
+    skew_out = None
+    if "--no-skew" not in sys.argv:
+        # planted hot-key evidence (one conv_id owns 30% of rows): per-
+        # reducer task times for row-shuffle vs salted vs two-level, plus
+        # byte-identity of the merged state — see tools/bench_skew.py.
+        # Runs in its own UI-enabled session AFTER the bench session stops.
+        from tools.bench_skew import orchestrate as skew_orchestrate
+
+        skew_out = skew_orchestrate()
     out = {
         "metric": "sketch_bench_total",
         "value": round(sum(timings.values()), 3),
@@ -173,6 +197,8 @@ def main():
     }
     if scaling_out is not None:
         out["scaling"] = scaling_out
+    if skew_out is not None:
+        out["skew"] = skew_out
     print(json.dumps(out))
 
 

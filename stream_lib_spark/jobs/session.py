@@ -80,8 +80,6 @@ def get_spark(app_name: str = "stream_lib_spark", cpus: int | None = None,
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
     builder = SparkSession.builder
-    for k, v in (extra_conf or {}).items():
-        builder = builder.config(k, v)
     spark = (
         builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -94,8 +92,12 @@ def get_spark(app_name: str = "stream_lib_spark", cpus: int | None = None,
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    # extra_conf wins over the defaults above (e.g. the skew bench
+    # re-enables the UI for its task-metrics REST reads)
+    for k, v in (extra_conf or {}).items():
+        spark = spark.config(k, v)
+    spark = spark.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     ensure_shipped(spark)
     return spark
