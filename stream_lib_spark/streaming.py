@@ -40,27 +40,35 @@ class SketchStateStore:
     resolves MAX(committed version) and can never observe a half-written
     snapshot, exactly the manifest-pointer protocol of an Iceberg/Delta
     commit (and the same emulation ``jobs/checkpoint.py`` uses for
-    snapshot-pinned reads).  History is retained, so any past state is
+    snapshot-pinned reads).  All IO goes through a ``StateFS`` (fs.py):
+    local paths use atomic rename, hdfs://-s3a://-style URIs go through
+    the JVM Hadoop FileSystem with a write-then-verify commit that never
+    assumes atomic rename — ``publish`` is the single FS-dependent
+    commit step either way.  History is retained, so any past state is
     still queryable by version; snapshots are plain parquet, readable by
     Spark/DuckDB/any engine, not just this library.  Structured
     Streaming guarantees one driver per query, so the single-writer
     assumption holds per state path; the stored ``batch_id`` makes
     replayed micro-batches idempotent."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, fs=None):
+        from .fs import resolve_fs
+
         self.path = path
-        self._data_dir = os.path.join(path, "data")
-        self._vdir = os.path.join(path, "_versions")
-        os.makedirs(self._data_dir, exist_ok=True)
-        os.makedirs(self._vdir, exist_ok=True)
+        self.fs = fs if fs is not None else resolve_fs(path)
+        self._data_dir = self.fs.join(path, "data")
+        self._vdir = self.fs.join(path, "_versions")
+        self.fs.mkdirs(self._data_dir)
+        self.fs.mkdirs(self._vdir)
 
     def versions(self) -> list[int]:
         return sorted(
-            int(f[:-5]) for f in os.listdir(self._vdir) if f.endswith(".json")
+            int(f[:-5]) for f in self.fs.listdir(self._vdir) if f.endswith(".json")
         )
 
     def read(self, version: int | None = None) -> tuple[object | None, int]:
         """Latest committed (sketch, batch_id), or a pinned ``version``."""
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         committed = self.versions()
@@ -69,41 +77,41 @@ class SketchStateStore:
         batch_id = committed[-1] if version is None else version
         if batch_id not in committed:
             raise ValueError(f"version {batch_id} not committed (have {committed})")
-        with open(os.path.join(self._vdir, f"{batch_id:020d}.json")) as f:
-            snap = json.load(f)
-        tbl = pq.read_table(os.path.join(self.path, snap["file"]))
+        snap = json.loads(self.fs.read_bytes(self.fs.join(self._vdir, f"{batch_id:020d}.json")))
+        tbl = pq.read_table(pa.BufferReader(self.fs.read_bytes(self.fs.join(self.path, snap["file"]))))
         return sketch_from_bytes(tbl.column("blob")[0].as_py()), batch_id
 
     def write(self, sketch, batch_id: int) -> None:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        rel = os.path.join("data", f"v{batch_id}.parquet")
-        data_path = os.path.join(self.path, rel)
+        rel = f"data/v{batch_id}.parquet"
         tbl = pa.table({
             "blob": pa.array([sketch.to_bytes()], type=pa.binary()),
             "batch_id": pa.array([batch_id], type=pa.int64()),
         })
-        tmp = data_path + ".tmp"
-        pq.write_table(tbl, tmp)
-        os.replace(tmp, data_path)  # snapshot in place, NOT yet committed
-        marker = os.path.join(self._vdir, f"{batch_id:020d}.json")
-        mtmp = marker + ".tmp"
-        with open(mtmp, "w") as f:
-            json.dump({"batch_id": batch_id, "file": rel}, f)
-        os.replace(mtmp, marker)  # the atomic commit point
+        sink = pa.BufferOutputStream()
+        pq.write_table(tbl, sink)
+        # snapshot in place, NOT yet committed — but verified: the
+        # marker commit below makes this file load-bearing, so a torn
+        # PUT here must be caught BEFORE the marker publishes it
+        self.fs.publish(self.fs.join(self.path, rel), sink.getvalue().to_pybytes())
+        marker = self.fs.join(self._vdir, f"{batch_id:020d}.json")
+        payload = json.dumps({"batch_id": batch_id, "file": rel}).encode()
+        self.fs.publish(marker, payload)  # the atomic commit point
 
 
 def streaming_sketch_query(stream_df: DataFrame, col: str, spec: SketchSpec,
                            state_dir: str, checkpoint_dir: str,
-                           trigger_available_now: bool = True):
+                           trigger_available_now: bool = True, fs=None):
     """Fold a streaming DataFrame's column into a persisted sketch.
 
     Each micro-batch: batch-mode two-level sketch_agg (partition
     partials → merge) → monoid-merge into the stored state.  Restart
     safety: batches with id <= stored batch_id are no-ops.
+    ``fs``: explicit StateFS (default: resolved from state_dir scheme).
     """
-    store = SketchStateStore(state_dir)
+    store = SketchStateStore(state_dir, fs=fs)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         current, last_id = store.read()
@@ -122,9 +130,9 @@ def streaming_sketch_query(stream_df: DataFrame, col: str, spec: SketchSpec,
     return writer.start()
 
 
-def read_state(state_dir: str):
+def read_state(state_dir: str, fs=None):
     """Current sketch from a streaming state store (None if empty)."""
-    sketch, _ = SketchStateStore(state_dir).read()
+    sketch, _ = SketchStateStore(state_dir, fs=fs).read()
     return sketch
 
 
