@@ -611,6 +611,35 @@ def q_cms_conservative_event_freq(spark, sf_dir):
     return spark.createDataFrame(rows, "event_type string, exact_cnt long, cons_ok boolean")
 
 
+def q_cms_probe_df(spark, sf_dir):
+    """DataFrame-native CMS probe gate (no driver-side probe list):
+    every distinct l_orderkey PLUS 1000 absent keys probed as a column
+    via the broadcast sketch blob; present probes must sit in
+    [exact, exact + eps*N] and absent probes below eps*N.  The probe
+    table never touches the driver — the 100-TB route for e.g.
+    decontamination candidate lists probed against a corpus CMS."""
+    _ship(spark)
+    from stream_lib_spark.functions import cms_frequencies_df
+
+    li = _t(spark, sf_dir, "lineitem")
+    eps = 1e-4
+    present = li.select(F.col("l_orderkey").alias("item")).distinct()
+    absent = spark.range(1000).select((F.col("id") + 10_000_000_000).alias("item"))
+    probes = present.unionByName(absent)
+    out = cms_frequencies_df(li, "l_orderkey", probes, "item", eps=eps, confidence=0.99)
+    exact = li.groupBy(F.col("l_orderkey").alias("item")).agg(F.count("*").alias("exact_cnt"))
+    n_rows = li.count()
+    bound = int(max(eps * n_rows, 1.0))
+    joined = out.join(exact, "item", "left").select(
+        F.coalesce("exact_cnt", F.lit(0)).alias("exact_cnt"), "est_count")
+    return joined.agg(
+        F.count("*").alias("n_probes"),
+        F.sum(F.when(F.col("exact_cnt") > 0, 1).otherwise(0)).cast("long").alias("n_present"),
+        F.min((F.col("est_count") >= F.col("exact_cnt"))
+              & (F.col("est_count") <= F.col("exact_cnt") + F.lit(bound))).alias("all_in_bound"),
+    )
+
+
 def q_wire_interop(spark, sf_dir):
     """Serialized-state migration parity: for every golden vector
     produced by the javac-compiled REFERENCE implementation
@@ -994,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cte_users_global": q_cte_users_global,
         "bottomk_partkey_sample": q_bottomk_partkey_sample,
         "cms_conservative_event_freq": q_cms_conservative_event_freq,
+        "cms_probe_df": q_cms_probe_df,
         "wire_interop": q_wire_interop,
         "keyed_topk_users": q_keyed_topk_users,
         "keyed_quantiles_by_type": q_keyed_quantiles_by_type,
@@ -1145,6 +1175,11 @@ def oracle_sql() -> dict[str, str]:
         "cms_conservative_event_freq": (
             "SELECT event_type, COUNT(*) AS exact_cnt, TRUE AS cons_ok "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "cms_probe_df": (
+            "SELECT CAST(COUNT(DISTINCT l_orderkey) + 1000 AS BIGINT) AS n_probes, "
+            "CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_present, "
+            "TRUE AS all_in_bound FROM lineitem"
         ),
         "wire_interop": (
             "SELECT * FROM (VALUES ('adaptivecounting', CAST(3 AS BIGINT), TRUE), "

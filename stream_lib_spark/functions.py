@@ -103,6 +103,41 @@ def cms_frequencies(df: DataFrame, col: str, probe_items: list, eps: float = 1e-
     return spark.createDataFrame(list(zip(items, [int(e) for e in est])), ["item", "est_count"])
 
 
+def cms_frequencies_df(df: DataFrame, col: str, probes: DataFrame,
+                       probe_col: str | None = None, eps: float = 1e-4,
+                       confidence: float = 0.99, conservative: bool = False,
+                       **kw) -> DataFrame:
+    """DataFrame-native CMS probe: build the global sketch over
+    ``df[col]``, then probe a probe COLUMN executor-side → ``probes``
+    plus ``est_count`` long.
+
+    Unlike ``cms_frequencies`` (driver-side probe list, fine for small
+    ad-hoc sets), the probe table here never touches the driver: the
+    collected sketch blob ships via a cached ``SparkContext.broadcast``
+    and each Arrow batch of probes is estimated with the vectorized
+    kernel — so a 10^9-row candidate list (e.g. decontamination
+    candidates probed against a corpus CMS) is a plain scan + pandas
+    UDF, no collect anywhere.  Probe hashing reuses the exact JVM
+    xxhash64-of-``df[col]``'s-type the update path used."""
+    probe_col = probe_col or col
+    cms = collect_sketch(sketch_agg(
+        df, [], col,
+        SketchSpec("cms", eps=eps, confidence=confidence, conservative=conservative), **kw))
+    bc = _broadcast_blob(probes.sparkSession, cms.to_bytes())
+
+    @F.pandas_udf(T.LongType())
+    def est(h: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from .sketches.cms import CountMinSketch
+
+        sk = CountMinSketch.from_bytes(bc.value)
+        return pd.Series(sk.estimate_hashed(h.to_numpy().astype(np.int64)).astype(np.int64))
+
+    field = dict(df.dtypes)[col]
+    return probes.withColumn("est_count", est(F.xxhash64(F.col(probe_col).cast(field))))
+
+
 def bloom_build(df: DataFrame, col: str, n_elements: int, fpp: float = 0.01, **kw):
     """Distributed Bloom build → driver-side BloomFilter."""
     return collect_sketch(
@@ -110,7 +145,20 @@ def bloom_build(df: DataFrame, col: str, n_elements: int, fpp: float = 0.01, **k
     )
 
 
-_bloom_bcasts: dict = {}  # (app_id, blob_sha) -> Broadcast, see bloom_probe
+_blob_bcasts: dict = {}  # (app_id, blob_sha) -> Broadcast, see bloom_probe
+
+
+def _broadcast_blob(spark, blob: bytes):
+    """Cached ``SparkContext.broadcast`` of a sketch blob: torrent-
+    distributed once per executor, NOT closure-serialized per task;
+    cached per (app, content) so repeated probes reuse one broadcast."""
+    import hashlib
+
+    key = (spark.sparkContext.applicationId, hashlib.sha256(blob).hexdigest())
+    bc = _blob_bcasts.get(key)
+    if bc is None:
+        bc = _blob_bcasts[key] = spark.sparkContext.broadcast(blob)
+    return bc
 
 
 def bloom_probe(bf, df: DataFrame, col: str) -> DataFrame:
@@ -126,13 +174,7 @@ def bloom_probe(bf, df: DataFrame, col: str) -> DataFrame:
     would break later executions).  Long-lived apps cycling through many
     DISTINCT filters should call ``bloom_probe.clear_cache(destroy=True)``
     between generations once prior results are materialized."""
-    import hashlib
-
-    blob = bf.to_bytes()
-    key = (df.sparkSession.sparkContext.applicationId, hashlib.sha256(blob).hexdigest())
-    bc = _bloom_bcasts.get(key)
-    if bc is None:
-        bc = _bloom_bcasts[key] = df.sparkSession.sparkContext.broadcast(blob)
+    bc = _broadcast_blob(df.sparkSession, bf.to_bytes())
 
     @F.pandas_udf(T.BooleanType())
     def probe(h: pd.Series) -> pd.Series:
@@ -147,16 +189,17 @@ def bloom_probe(bf, df: DataFrame, col: str) -> DataFrame:
 
 
 def _bloom_clear_cache(destroy: bool = False) -> int:
-    """Drop (and optionally destroy on executors) all cached Bloom
-    broadcasts.  Only call destroy=True after every DataFrame returned
-    by bloom_probe has been fully materialized."""
-    n = len(_bloom_bcasts)
-    for bc in _bloom_bcasts.values():
+    """Drop (and optionally destroy on executors) all cached blob
+    broadcasts (Bloom + CMS).  Only call destroy=True after every
+    DataFrame returned by bloom_probe / cms_frequencies_df has been
+    fully materialized."""
+    n = len(_blob_bcasts)
+    for bc in _blob_bcasts.values():
         if destroy:
             bc.destroy()
         else:
             bc.unpersist()
-    _bloom_bcasts.clear()
+    _blob_bcasts.clear()
     return n
 
 

@@ -545,7 +545,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
 
 
 def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
-                      max_iters: int = 50) -> DataFrame:
+                      max_iters: int = 50, check_every: int = 2) -> DataFrame:
     """Connected components over near-duplicate pair edges →
     (doc_id, canonical_id): every document's label converges to the
     SMALLEST id reachable through the pair graph, i.e. the cluster's
@@ -560,7 +560,13 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     converges in ~11 rounds, ``tests/test_textops.py``); each round is
     two equi-joins + a groupBy-min, and ``localCheckpoint`` cuts lineage
     growth so the plan stays constant-size across iterations.
-    Deterministic: min is order-insensitive."""
+    Deterministic: min is order-insensitive.
+
+    Driver actions are throttled: the convergence check (a count job)
+    runs only every ``check_every`` rounds — labels update by a monotone
+    min, so overshooting convergence by up to ``check_every - 1`` rounds
+    is idempotent and the result is identical, while the driver-blocking
+    job count drops by ~2x (asserted in tests/test_textops.py)."""
     edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -570,7 +576,7 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         .withColumn("lbl", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(max_iters):
+    for it in range(max_iters):
         nb_min = (
             edges.join(labels, edges["b"] == labels["node"])
             .groupBy("a")
@@ -593,10 +599,11 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                 F.least(F.col("l1"), F.coalesce("mlbl", F.col("l1"))).alias("new_lbl"),
             )
         ).localCheckpoint()
-        changed = updated.where(F.col("new_lbl") < F.col("lbl")).count()
+        if (it + 1) % check_every == 0 or it == max_iters - 1:
+            if updated.where(F.col("new_lbl") < F.col("lbl")).count() == 0:
+                labels = updated.select("node", F.col("new_lbl").alias("lbl"))
+                break
         labels = updated.select("node", F.col("new_lbl").alias("lbl"))
-        if changed == 0:
-            break
     else:
         raise RuntimeError(
             f"near_dup_clusters did not converge in {max_iters} iterations "

@@ -105,3 +105,27 @@ def test_serialization_roundtrip():
     rt = CountMinSketch.from_bytes(cms.to_bytes())
     assert rt.to_bytes() == cms.to_bytes()
     assert rt.size == cms.size
+
+
+def test_cms_frequencies_df_matches_driver_probe(spark):
+    """The DataFrame-native probe column route returns the same
+    estimates as the driver-side probe list for the same sketch, and
+    the probe table never collects (pure column pipeline)."""
+    from pyspark.sql import functions as F
+
+    from stream_lib_spark.functions import cms_frequencies, cms_frequencies_df
+
+    df = spark.range(20_000).select((F.col("id") % 500).alias("k"))
+    probe_vals = list(range(0, 500, 25)) + [9_999_999]
+    driver_side = {
+        r["item"]: r["est_count"]
+        for r in cms_frequencies(df, "k", probe_vals, eps=1e-3).collect()
+    }
+    probes = spark.createDataFrame([(v,) for v in probe_vals], "item long")
+    df_side = {
+        str(r["item"]): r["est_count"]
+        for r in cms_frequencies_df(df, "k", probes, "item", eps=1e-3).collect()
+    }
+    assert df_side == driver_side
+    # present keys are exact here (40 each, far under any collision)
+    assert df_side["0"] == 40 and df_side["9999999"] <= 20

@@ -222,6 +222,36 @@ def test_cc_chain_converges_in_log_rounds(spark):
     assert {r["canonical_id"] for r in rows} == {0}
 
 
+def test_cc_throttled_convergence_checks_cut_jobs(spark):
+    """check_every=2 must produce the identical labeling with
+    measurably fewer driver-blocking Spark jobs (the count job runs
+    every other round; min-label updates are idempotent past
+    convergence)."""
+    from stream_lib_spark.textops import near_dup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(999)], "id_a long, id_b long"
+    )
+    sc = spark.sparkContext
+
+    def run(check_every, group):
+        sc.setJobGroup(group, group)
+        try:
+            got = {r["doc_id"]: r["canonical_id"]
+                   for r in near_dup_clusters(chain, max_iters=30,
+                                              check_every=check_every).collect()}
+        finally:
+            sc.setJobGroup(None, None)
+        return got, len(sc.statusTracker().getJobIdsForGroup(group))
+
+    every, jobs_every = run(1, "cc-every")
+    throttled, jobs_throttled = run(2, "cc-throttled")
+    assert throttled == every
+    # one count job saved per skipped round; allow the possible extra
+    # (idempotent) overshoot round's own jobs
+    assert jobs_throttled < jobs_every
+
+
 def test_ngram_contamination_planted(spark):
     """Planted contamination: doc 10 embeds a probe sentence verbatim;
     unrelated docs share no 8-gram with the probe set."""
