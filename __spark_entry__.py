@@ -611,6 +611,49 @@ def q_cms_conservative_event_freq(spark, sf_dir):
     return spark.createDataFrame(rows, "event_type string, exact_cnt long, cons_ok boolean")
 
 
+def q_streaming_sketch_parity(spark, sf_dir):
+    """Streaming-ingestion gate: the events table replayed through a
+    Structured Streaming query (availableNow trigger, foreachBatch fold
+    into the versioned state store) must land on EXACTLY the same sketch
+    bytes as the batch-mode ``sketch_agg`` over the same rows, and the
+    estimate must sit inside the published HLL++ bound around the exact
+    distinct count."""
+    _ship(spark)
+    import math
+    import shutil
+    import tempfile
+    import uuid
+
+    from stream_lib_spark.agg import SketchSpec, collect_sketch, sketch_agg
+    from stream_lib_spark.streaming import SketchStateStore, streaming_sketch_query
+
+    ev = _t(spark, sf_dir, "events")
+    p = 14
+    work = os.path.join(tempfile.gettempdir(), f"stream_gate_{uuid.uuid4().hex}")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    try:
+        shutil.copy(os.path.join(sf_dir, "events.parquet"), src)
+        stream = (spark.readStream.format("parquet").schema(ev.schema)
+                  .option("maxFilesPerTrigger", 1).load(src))
+        q = streaming_sketch_query(stream, "user_id", SketchSpec("hll", p=p),
+                                   os.path.join(work, "state"),
+                                   os.path.join(work, "ckpt"))
+        q.awaitTermination()
+        streamed, _ = SketchStateStore(os.path.join(work, "state")).read()
+        batch = collect_sketch(sketch_agg(ev, [], "user_id", SketchSpec("hll", p=p)))
+        exact = ev.select("user_id").distinct().count()
+        bound = 3 * 1.04 / math.sqrt(2 ** p) * exact + 1
+        return spark.createDataFrame(
+            [(exact,
+              bool(abs(streamed.cardinality() - exact) <= bound),
+              bool(streamed.to_bytes() == batch.to_bytes()))],
+            "exact_users long, stream_within_bound boolean, stream_equals_batch boolean",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_cms_probe_df(spark, sf_dir):
     """DataFrame-native CMS probe gate (no driver-side probe list):
     every distinct l_orderkey PLUS 1000 absent keys probed as a column
@@ -1024,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bottomk_partkey_sample": q_bottomk_partkey_sample,
         "cms_conservative_event_freq": q_cms_conservative_event_freq,
         "cms_probe_df": q_cms_probe_df,
+        "streaming_sketch_parity": q_streaming_sketch_parity,
         "wire_interop": q_wire_interop,
         "keyed_topk_users": q_keyed_topk_users,
         "keyed_quantiles_by_type": q_keyed_quantiles_by_type,
@@ -1175,6 +1219,10 @@ def oracle_sql() -> dict[str, str]:
         "cms_conservative_event_freq": (
             "SELECT event_type, COUNT(*) AS exact_cnt, TRUE AS cons_ok "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "streaming_sketch_parity": (
+            "SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users, "
+            "TRUE AS stream_within_bound, TRUE AS stream_equals_batch FROM events"
         ),
         "cms_probe_df": (
             "SELECT CAST(COUNT(DISTINCT l_orderkey) + 1000 AS BIGINT) AS n_probes, "

@@ -7,8 +7,10 @@ Prints ONE JSON line:
 
 By default the run also includes the N vs 4N executor-scaling pair
 (isolated processes; see BENCH.md and tools/bench_scaling_multiproc.py,
-skip with --no-scaling) and the planted hot-key skew section
-(tools/bench_skew.py, skip with --no-skew).
+skip with --no-scaling), the dedup scale-trend section (1x vs 10x
+documents, tools/bench_scale_trend.py, skip with --no-trend), and the
+planted hot-key skew section (tools/bench_skew.py, skip with
+--no-skew).
 
 TIMING POLICY (pinned since round 3 — compare rounds like-for-like):
   * every per-query number is the MIN of SPARK_BENCH_REPEATS (default 3)
@@ -178,6 +180,16 @@ def main():
     spark = _session(CPUS)
     timings, extras = bench_queries(spark)
     spark.stop()
+    trend_out = None
+    if "--no-trend" not in sys.argv:
+        # dedup-family scale trend: 1x vs deterministic 10x documents;
+        # near-linear ratio = no hidden quadratic term in the banded joins
+        from stream_lib_spark.jobs.session import get_spark
+        from tools.bench_scale_trend import run as trend_run
+
+        tspark = get_spark("bench-scale-trend")
+        trend_out = trend_run(tspark)
+        tspark.stop()
     skew_out = None
     if "--no-skew" not in sys.argv:
         # planted hot-key evidence (one conv_id owns 30% of rows): per-
@@ -197,6 +209,8 @@ def main():
     }
     if scaling_out is not None:
         out["scaling"] = scaling_out
+    if trend_out is not None:
+        out["scale_trend"] = trend_out
     if skew_out is not None:
         out["skew"] = skew_out
     print(json.dumps(out))

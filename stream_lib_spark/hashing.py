@@ -107,7 +107,9 @@ def murmur64a_array(strings: np.ndarray, seed: int | np.uint64 = MURMUR64_DEFAUL
 def _murmur64a_fixed(buf: np.ndarray, length: int, seed: int | np.uint64) -> np.ndarray:
     """MurmurHash64A over an (n, length) uint8 matrix, vectorized."""
     n = buf.shape[0]
-    h = np.full(n, U64(seed) ^ (U64(length) * _M), dtype=U64)
+    with np.errstate(over="ignore"):  # uint64 wraparound is the algorithm
+        init = U64(seed) ^ (U64(length) * _M)
+    h = np.full(n, init, dtype=U64)
     n_blocks = length // 8
     if n_blocks:
         blocks = buf[:, : n_blocks * 8].copy().view("<u8")  # (n, n_blocks)

@@ -1,0 +1,84 @@
+"""Dedup-family scale-trend evidence: run the banded-join dedup ops at
+1x (the sf0.1 documents table, 5k docs) and a deterministic 10x blow-up
+(50k docs) and report the wall-time ratio.  Near-linear growth (ratio
+well under the ~12x danger line for 10x data) is the empirical argument
+that the LSH band joins / winnowing bucket joins carry no hidden
+quadratic term — the property that matters at 10^9 documents.
+
+The 10x table is ten token-rewritten copies: every token in copy k gets
+an ``xk`` suffix, so each copy keeps the ORIGINAL's internal near-dup
+structure (pair count scales exactly 10x) while no cross-copy pair is a
+near-dup (suffixing every token disjoints the shingle sets) — growth in
+genuine work is exactly linear by construction, so any super-linear
+wall-time growth is the join's fault, not the data's.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+PATH_10X = "/tmp/bench_docs10x.parquet"
+REPEATS = 2  # min-of-2 steady state (the trend RATIO is the metric here)
+
+
+def materialize_10x(spark, path: str = PATH_10X):
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        copies = None
+        for k in range(10):
+            c = docs.select(
+                (F.col("doc_id") + k * 10_000_000).alias("doc_id"),
+                F.regexp_replace("text", r"(\S+)", f"$1x{k}").alias("text"),
+                "lang", "source", "n_chars",
+            )
+            copies = c if copies is None else copies.unionByName(c)
+        copies.repartition(32).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def run(spark) -> dict:
+    from stream_lib_spark.textops import minhash_lsh_pairs, winnowing_fingerprints
+
+    docs1 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs10 = materialize_10x(spark)
+    n1, n10 = docs1.count(), docs10.count()
+
+    # warm both pipeline shapes once (policy: steady-state timing)
+    minhash_lsh_pairs(docs1.limit(50), threshold=0.5).count()
+    winnowing_fingerprints(docs1.limit(50)).count()
+
+    def best(fn):
+        b = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.time()
+            fn()
+            b = min(b, time.time() - t0)
+        return round(b, 3)
+
+    out = {"rows_1x": n1, "rows_10x": n10,
+           "policy": f"min of {REPEATS} steady-state runs; 10x = token-rewritten copies (linear true-work growth)"}
+    for name, fn in [
+        ("minhash_dedup", lambda d: minhash_lsh_pairs(d, threshold=0.5).count()),
+        ("winnowing", lambda d: winnowing_fingerprints(d).count()),
+    ]:
+        s1 = best(lambda: fn(docs1))
+        s10 = best(lambda: fn(docs10))
+        out[name] = {"sec_1x": s1, "sec_10x": s10,
+                     "ratio_10x": round(s10 / s1, 2) if s1 > 0 else None}
+    return out
+
+
+if __name__ == "__main__":
+    from stream_lib_spark.jobs.session import get_spark
+
+    spark = get_spark("bench-scale-trend")
+    print(json.dumps(run(spark), indent=2))
+    spark.stop()
