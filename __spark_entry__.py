@@ -835,7 +835,7 @@ def q_wire_interop(spark, sf_dir):
         if topk:
             for part in topk.split(";"):
                 item, c, e = part.rsplit(":", 2)
-                expected.append((item, int(c), int(e)))
+                expected.append((int(item) if item.isdigit() else item, int(c), int(e)))
         ok &= ss.top_k(int(cap)) == expected  # reference's own topK rows
         n += 1
     rows.append(("spacesaving", n, bool(ok)))
@@ -1239,7 +1239,7 @@ def oracle_sql() -> dict[str, str]:
             "('linearcounting', CAST(3 AS BIGINT), TRUE), "
             "('loglog', CAST(3 AS BIGINT), TRUE), "
             "('qdigest', CAST(3 AS BIGINT), TRUE), "
-            "('spacesaving', CAST(5 AS BIGINT), TRUE), "
+            "('spacesaving', CAST(6 AS BIGINT), TRUE), "
             "('tdigest', CAST(6 AS BIGINT), TRUE)) AS t(kind, n_cases, all_ok) "
             "ORDER BY kind"
         ),

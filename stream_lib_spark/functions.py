@@ -123,7 +123,7 @@ def cms_frequencies_df(df: DataFrame, col: str, probes: DataFrame,
     cms = collect_sketch(sketch_agg(
         df, [], col,
         SketchSpec("cms", eps=eps, confidence=confidence, conservative=conservative), **kw))
-    bc = _broadcast_blob(probes.sparkSession, cms.to_bytes())
+    bc, tok = _broadcast_blob(probes.sparkSession, cms.to_bytes())
 
     @F.pandas_udf(T.LongType())
     def est(h: pd.Series) -> pd.Series:
@@ -131,7 +131,7 @@ def cms_frequencies_df(df: DataFrame, col: str, probes: DataFrame,
 
         from .sketches.cms import CountMinSketch
 
-        sk = CountMinSketch.from_bytes(bc.value)
+        sk = _parsed_sketch(tok, bc, CountMinSketch.from_bytes)
         return pd.Series(sk.estimate_hashed(h.to_numpy().astype(np.int64)).astype(np.int64))
 
     field = dict(df.dtypes)[col]
@@ -147,18 +147,38 @@ def bloom_build(df: DataFrame, col: str, n_elements: int, fpp: float = 0.01, **k
 
 _blob_bcasts: dict = {}  # (app_id, blob_sha) -> Broadcast, see bloom_probe
 
+# Executor-side cache of PARSED probe sketches: a pandas UDF body runs
+# once per Arrow batch, and re-parsing a ~24 MB Bloom/CMS blob per
+# batch is a pointless memcpy.  Keyed by a driver-generated token
+# closed into the UDF (worker-side Broadcast objects expose no stable
+# id) and bounded to the last few sketches a worker process probed.
+_parsed_cache: dict = {}
+_PARSED_CACHE_MAX = 4
+
+
+def _parsed_sketch(token: str, bc, parse):
+    sk = _parsed_cache.get(token)
+    if sk is None:
+        if len(_parsed_cache) >= _PARSED_CACHE_MAX:
+            _parsed_cache.pop(next(iter(_parsed_cache)))
+        sk = _parsed_cache[token] = parse(bc.value)
+    return sk
+
 
 def _broadcast_blob(spark, blob: bytes):
     """Cached ``SparkContext.broadcast`` of a sketch blob: torrent-
     distributed once per executor, NOT closure-serialized per task;
-    cached per (app, content) so repeated probes reuse one broadcast."""
+    cached per (app, content) so repeated probes reuse one broadcast.
+    Returns (broadcast, content-token) — the token keys the executor-
+    side parsed-sketch cache."""
     import hashlib
 
-    key = (spark.sparkContext.applicationId, hashlib.sha256(blob).hexdigest())
+    sha = hashlib.sha256(blob).hexdigest()
+    key = (spark.sparkContext.applicationId, sha)
     bc = _blob_bcasts.get(key)
     if bc is None:
         bc = _blob_bcasts[key] = spark.sparkContext.broadcast(blob)
-    return bc
+    return bc, sha
 
 
 def bloom_probe(bf, df: DataFrame, col: str) -> DataFrame:
@@ -174,7 +194,7 @@ def bloom_probe(bf, df: DataFrame, col: str) -> DataFrame:
     would break later executions).  Long-lived apps cycling through many
     DISTINCT filters should call ``bloom_probe.clear_cache(destroy=True)``
     between generations once prior results are materialized."""
-    bc = _broadcast_blob(df.sparkSession, bf.to_bytes())
+    bc, tok = _broadcast_blob(df.sparkSession, bf.to_bytes())
 
     @F.pandas_udf(T.BooleanType())
     def probe(h: pd.Series) -> pd.Series:
@@ -182,7 +202,7 @@ def bloom_probe(bf, df: DataFrame, col: str) -> DataFrame:
 
         from .sketches.bloom import BloomFilter
 
-        filt = BloomFilter.from_bytes(bc.value)
+        filt = _parsed_sketch(tok, bc, BloomFilter.from_bytes)
         return pd.Series(filt.contains_hashed(h.to_numpy().astype(np.int64)))
 
     return df.withColumn("might_contain", probe(F.xxhash64(F.col(col))))

@@ -107,6 +107,8 @@ class _ExtReader(_JosReader):
         self.handles.append(None)  # handle slot for the Counter object itself
         # external contents, block-data mode (protocol 2)
         item = self.read_object()
+        if isinstance(item, dict):  # boxed Integer/Long item
+            item = item["fields"]["value"]
         count, error = struct.unpack(">qq", self.prim(16))
         if self._u1() != _TC_ENDBLOCKDATA:
             raise ValueError("unterminated external Counter data")
@@ -116,7 +118,7 @@ class _ExtReader(_JosReader):
 class _ExtWriter(_JosWriter):
     """JOS writer extended with the Externalizable Counter record."""
 
-    def write_counter(self, item: str, count: int, error: int) -> None:
+    def write_counter(self, item, count: int, error: int) -> None:
         self._drain()
         self.out.append(_TC_OBJECT)
         if COUNTER_CLASS in self.class_handles:
@@ -132,7 +134,13 @@ class _ExtWriter(_JosWriter):
             self.out.append(_TC_ENDBLOCKDATA)
             self.out.append(_TC_NULL)
         self.n_handles += 1  # the Counter object
-        self.write_string(item)
+        if isinstance(item, str):
+            self.write_string(item)
+        elif isinstance(item, int):  # boxed, like the reference's generic T
+            cls = "java.lang.Integer" if -(1 << 31) <= item < (1 << 31) else "java.lang.Long"
+            self.write_object(cls, {"value": item})
+        else:
+            raise ValueError(f"unsupported item type {type(item)}")
         self.prim(struct.pack(">qq", count, error))
         self._drain()
         self.out.append(_TC_ENDBLOCKDATA)

@@ -167,3 +167,30 @@ def test_roundtrip_property(vals):
     for sk in (TDigest.from_values(arr, 50.0), KLL(32).add_values(arr)):
         rt = type(sk).from_bytes(sk.to_bytes())
         assert rt.to_bytes() == sk.to_bytes()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(
+    st.tuples(st.one_of(st.text(min_size=1, max_size=12).filter(lambda s: not s.isdigit()),
+                        st.integers(min_value=-(2**40), max_value=2**40)),
+              st.integers(min_value=1, max_value=10**9),
+              st.integers(min_value=0, max_value=10**6)),
+    min_size=0, max_size=40, unique_by=lambda t: t[0]))
+def test_spacesaving_wire_roundtrip_property(counters):
+    """Arbitrary (item, count, error) summaries — string or boxed
+    integer items — survive a JOS wire round trip byte-exactly after
+    canonical ascending-count ordering."""
+    from stream_lib_spark.sketches.spacesaving_wire import (
+        ReferenceStreamSummary,
+        parse_reference_bytes,
+        to_reference_bytes,
+    )
+
+    # homogeneous item type per summary, like the reference's generic T
+    strs = [c for c in counters if isinstance(c[0], str)]
+    for subset in (strs, [c for c in counters if not isinstance(c[0], str)]):
+        ss = ReferenceStreamSummary(max(len(subset), 1), subset)
+        blob = to_reference_bytes(ss)
+        back = parse_reference_bytes(blob)
+        assert back.counters == sorted(subset, key=lambda t: t[1])
+        assert to_reference_bytes(back) == blob

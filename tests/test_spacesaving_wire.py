@@ -33,13 +33,15 @@ def _golden_rows():
             if topk:
                 for part in topk.split(";"):
                     item, count, error = part.rsplit(":", 2)
-                    expected.append((item, int(count), int(error)))
+                    # boxed-Integer case: items parse as ints in the blob
+                    expected.append((int(item) if item.isdigit() else item,
+                                     int(count), int(error)))
             yield int(cap), int(n), expected, base64.b64decode(b64)
 
 
 def test_golden_byte_roundtrip():
     rows = list(_golden_rows())
-    assert len(rows) == 5
+    assert len(rows) == 6
     for cap, _n, _topk, blob in rows:
         ss = parse_reference_bytes(blob)
         assert ss.capacity == cap

@@ -9,10 +9,10 @@ import java.util.List;
 // TestStreamSummary.testByteSerialization round-trips.
 // Row: capacity,n_offers,topk(item:count:error;...),base64(toBytes())
 public class Golden10 {
-    static String topk(StreamSummary<String> ss, int k) {
+    static <T> String topk(StreamSummary<T> ss, int k) {
         StringBuilder sb = new StringBuilder();
-        List<Counter<String>> top = ss.topK(k);
-        for (Counter<String> c : top) {
+        List<Counter<T>> top = ss.topK(k);
+        for (Counter<T> c : top) {
             if (sb.length() > 0) sb.append(';');
             sb.append(c.getItem()).append(':').append(c.getCount()).append(':').append(c.getError());
         }
@@ -54,9 +54,16 @@ public class Golden10 {
 
         // empty summary
         emit(new StreamSummary<String>(5), 5, 0);
+
+        // boxed Integer items (generic T path: items as JOS objects)
+        StreamSummary<Integer> e = new StreamSummary<Integer>(8);
+        for (int i = 0; i < 120; i++) {
+            e.offer((i * i) % 17);
+        }
+        emit(e, 8, 120);
     }
 
-    static void emit(StreamSummary<String> ss, int cap, int n) throws Exception {
+    static <T> void emit(StreamSummary<T> ss, int cap, int n) throws Exception {
         System.out.println(cap + "," + n + "," + topk(ss, cap) + ","
                 + Base64.getEncoder().encodeToString(ss.toBytes()));
     }
