@@ -1233,13 +1233,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM (VALUES ('adaptivecounting', CAST(3 AS BIGINT), TRUE), "
             "('bloom', CAST(2 AS BIGINT), TRUE), "
             "('cms', CAST(3 AS BIGINT), TRUE), "
-            "('countthenestimate', CAST(7 AS BIGINT), TRUE), "
+            "('countthenestimate', CAST(8 AS BIGINT), TRUE), "
             "('hll_classic', CAST(3 AS BIGINT), TRUE), "
             "('hllpp', CAST(30 AS BIGINT), TRUE), "
             "('linearcounting', CAST(3 AS BIGINT), TRUE), "
             "('loglog', CAST(3 AS BIGINT), TRUE), "
             "('qdigest', CAST(3 AS BIGINT), TRUE), "
-            "('spacesaving', CAST(6 AS BIGINT), TRUE), "
+            "('spacesaving', CAST(7 AS BIGINT), TRUE), "
             "('tdigest', CAST(6 AS BIGINT), TRUE)) AS t(kind, n_cases, all_ok) "
             "ORDER BY kind"
         ),

@@ -62,6 +62,43 @@ _CLASSES = {
 _PRIM_FMT = {"I": ">i", "J": ">q", "D": ">d", "F": ">f", "S": ">h", "B": ">b", "Z": ">?", "C": ">H"}
 
 
+def _mutf8_encode(s: str) -> bytes:
+    """Java modified UTF-8 (DataOutputStream.writeUTF): every UTF-16
+    code unit encoded independently — astral chars become CESU-8-style
+    3+3-byte surrogate pairs, NUL becomes C0 80.  Plain UTF-8 for BMP
+    text, but the difference matters for emoji-bearing tokens."""
+    units = s.encode("utf-16-be")
+    out = bytearray()
+    for i in range(0, len(units), 2):
+        u = (units[i] << 8) | units[i + 1]
+        if 1 <= u < 0x80:
+            out.append(u)
+        elif u < 0x800:  # includes U+0000
+            out += bytes([0xC0 | (u >> 6), 0x80 | (u & 0x3F)])
+        else:
+            out += bytes([0xE0 | (u >> 12), 0x80 | ((u >> 6) & 0x3F), 0x80 | (u & 0x3F)])
+    return bytes(out)
+
+
+def _mutf8_decode(b: bytes) -> str:
+    units = []
+    i, n = 0, len(b)
+    while i < n:
+        c = b[i]
+        if c < 0x80:
+            units.append(c)
+            i += 1
+        elif c >> 5 == 0b110:
+            units.append(((c & 0x1F) << 6) | (b[i + 1] & 0x3F))
+            i += 2
+        elif c >> 4 == 0b1110:
+            units.append(((c & 0x0F) << 12) | ((b[i + 1] & 0x3F) << 6) | (b[i + 2] & 0x3F))
+            i += 3
+        else:
+            raise ValueError(f"bad modified-UTF8 lead byte 0x{c:02x}")
+    return struct.pack(f">{len(units)}H", *units).decode("utf-16-be")
+
+
 class _JosReader:
     """Minimal JOS stream reader for the CountThenEstimate grammar."""
 
@@ -114,7 +151,7 @@ class _JosReader:
 
     def _utf(self) -> str:
         (n,) = struct.unpack(">H", self._raw(2))
-        return self._raw(n).decode("utf-8")  # modified-UTF8 == UTF8 for BMP
+        return _mutf8_decode(self._raw(n))
 
     def _classdesc(self):
         tok = self._u1()
@@ -204,7 +241,7 @@ class _JosWriter:
         self.buf = bytearray()
 
     def _utf(self, s: str) -> None:
-        b = s.encode("utf-8")
+        b = _mutf8_encode(s)
         self.out += struct.pack(">H", len(b)) + b
 
     def write_string(self, s: str) -> None:

@@ -65,6 +65,11 @@ def test_untipped_elements_round_trip_values():
         if "ints" in name:
             assert set(cte.elements) == {i * 7 for i in range(30)}
             assert cte.builder_args == {"size": 1024}
+        elif "unicode" in name:
+            # astral + accented + CJK elements: Java writeUTF is MODIFIED
+            # UTF-8 (CESU-8 surrogates) — exact value parity proves the
+            # codec decodes/encodes it, not plain UTF-8
+            assert set(cte.elements) == {"😀", "café", "日本語", "a🚀b"}
         else:
             assert set(cte.elements) == {f"item-{i}" for i in range(len(cte.elements))}
         assert cte.tipping_point == 1000
@@ -83,3 +88,16 @@ def test_to_native():
             native = to_native(cte)
             assert native.tipped
             assert abs(native.cardinality() - ref_card) / max(ref_card, 1) < 0.1
+
+
+def test_modified_utf8_matches_java_writeutf():
+    """Pinned vector from DataOutputStream.writeUTF (compiled + run with
+    Java 17): astral char as a CESU-8 surrogate pair, NUL as C0 80."""
+    import struct
+
+    from stream_lib_spark.sketches.cte_wire import _mutf8_decode, _mutf8_encode
+
+    s = "a\U0001F600b\x00cé日"
+    b = _mutf8_encode(s)
+    assert (struct.pack(">H", len(b)) + b).hex() == "001061eda0bdedb88062c08063c3a9e697a5"
+    assert _mutf8_decode(b) == s

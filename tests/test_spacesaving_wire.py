@@ -41,7 +41,7 @@ def _golden_rows():
 
 def test_golden_byte_roundtrip():
     rows = list(_golden_rows())
-    assert len(rows) == 6
+    assert len(rows) == 7
     for cap, _n, _topk, blob in rows:
         ss = parse_reference_bytes(blob)
         assert ss.capacity == cap

@@ -61,6 +61,23 @@ public class Golden10 {
             e.offer((i * i) % 17);
         }
         emit(e, 8, 120);
+
+        // non-BMP / non-ASCII items: TC_STRING uses Java MODIFIED UTF-8
+        // (CESU-8 surrogate pairs for astral chars) — emoji-bearing
+        // tokens are realistic in transcript data
+        StreamSummary<String> f = new StreamSummary<String>(6);
+        String[] toks = {"😀", "café", "日本語",
+                         "🚀x😀", "plain"};
+        int nf = 0;
+        for (int i = 0; i < 60; i++) {
+            f.offer(toks[i % toks.length]);
+            nf++;
+            if (i % 3 == 0) {
+                f.offer(toks[i % 2]);  // skew so counts differ
+                nf++;
+            }
+        }
+        emit(f, 6, nf);
     }
 
     static <T> void emit(StreamSummary<T> ss, int cap, int n) throws Exception {

@@ -33,5 +33,14 @@ public class Golden8 {
         }
         System.out.println("untipped-lc-ints," + 30 + "," + ints.tipped() + "," + ints.cardinality() + ","
                 + Base64.getEncoder().encodeToString(ints.getBytes()));
+
+        // unicode elements incl. astral chars (modified-UTF8 strings)
+        CountThenEstimate uni = new CountThenEstimate(1000, new LinearCounting.Builder(1024));
+        String[] els = {"😀", "café", "日本語", "a🚀b"};
+        for (String s : els) {
+            uni.offer(s);
+        }
+        System.out.println("untipped-lc-unicode," + 4 + "," + uni.tipped() + "," + uni.cardinality() + ","
+                + Base64.getEncoder().encodeToString(uni.getBytes()));
     }
 }
