@@ -38,6 +38,7 @@ TYPE_NAMES = {TYPE_LC: "lc", TYPE_AC: "ac", TYPE_HLC: "hlc", TYPE_LLC: "llc", TY
 _MAGIC = b"\xac\xed\x00\x05"
 _TC_NULL, _TC_REFERENCE, _TC_CLASSDESC, _TC_OBJECT = 0x70, 0x71, 0x72, 0x73
 _TC_STRING, _TC_BLOCKDATA, _TC_ENDBLOCKDATA, _TC_BLOCKDATALONG = 0x74, 0x77, 0x78, 0x7A
+_TC_LONGSTRING = 0x7C  # writeObject(String) switches here above 65535 bytes
 _SC_SERIALIZABLE = 0x02
 _BASE_HANDLE = 0x7E0000
 _BLOCK_MAX = 1024
@@ -191,6 +192,11 @@ class _JosReader:
             s = self._utf()
             self.handles.append(s)
             return s
+        if tok == _TC_LONGSTRING:
+            (n,) = struct.unpack(">q", self._raw(8))
+            s = _mutf8_decode(self._raw(n))
+            self.handles.append(s)
+            return s
         if tok == _TC_REFERENCE:
             (h,) = struct.unpack(">i", self._raw(4))
             return self.handles[h - _BASE_HANDLE]
@@ -246,8 +252,13 @@ class _JosWriter:
 
     def write_string(self, s: str) -> None:
         self._drain()
-        self.out.append(_TC_STRING)
-        self._utf(s)
+        b = _mutf8_encode(s)
+        if len(b) > 0xFFFF:
+            self.out.append(_TC_LONGSTRING)
+            self.out += struct.pack(">q", len(b)) + b
+        else:
+            self.out.append(_TC_STRING)
+            self.out += struct.pack(">H", len(b)) + b
         self.n_handles += 1
 
     def write_object(self, class_name: str, values: dict) -> None:

@@ -79,3 +79,20 @@ def test_reference_reads_our_tipped_hllpp_bytes(readback):
     assert tipped
     rse = 1.04 / (1 << 14) ** 0.5
     assert abs(card - n) <= 4 * rse * n
+
+
+def test_reference_reads_our_longstring_bytes(readback):
+    """TC_LONGSTRING elements (>64 KB modified-UTF8): the JVM reference
+    must parse the stream and see all 3 distinct elements.  Note the
+    byte-constructor auto-tips when builder.sizeof() <= len(bytes)
+    (CountThenEstimate.java fromBytes), so a 70 KB untipped blob loads
+    TIPPED with the LC estimator reporting the exact 3."""
+    from stream_lib_spark.sketches.cte_wire import ReferenceCTE, to_reference_bytes
+
+    big = "x" * 70_000 + "END"
+    cte = ReferenceCTE(False, tipping_point=1000,
+                       builder_class="com.clearspring.analytics.stream.cardinality.LinearCounting$Builder",
+                       builder_args={"size": 1024},
+                       elements=["small", big, "third"])
+    ((tipped, card),) = readback([to_reference_bytes(cte)])
+    assert tipped and card == 3.0

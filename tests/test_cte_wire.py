@@ -101,3 +101,23 @@ def test_modified_utf8_matches_java_writeutf():
     b = _mutf8_encode(s)
     assert (struct.pack(">H", len(b)) + b).hex() == "001061eda0bdedb88062c08063c3a9e697a5"
     assert _mutf8_decode(b) == s
+
+
+def test_longstring_roundtrip():
+    """Elements over 65535 modified-UTF8 bytes use TC_LONGSTRING (what
+    the JVM's writeObject(String) emits) — byte round trip + JVM
+    read-back direction covered by cte readback fixtures elsewhere."""
+    from stream_lib_spark.sketches.cte_wire import (
+        ReferenceCTE,
+        parse_reference_bytes,
+        to_reference_bytes,
+    )
+
+    big = "x" * 70_000 + "😀"
+    cte = ReferenceCTE(False, tipping_point=1000,
+                       builder_class="com.clearspring.analytics.stream.cardinality.LinearCounting$Builder",
+                       builder_args={"size": 1024}, elements=["small", big])
+    blob = to_reference_bytes(cte)
+    back = parse_reference_bytes(blob)
+    assert back.elements == ["small", big]
+    assert to_reference_bytes(back) == blob
