@@ -11,7 +11,13 @@ Usage (sandbox / cluster — identical):
               tdigest:latency_s:compression=100 topk:tool:capacity=256 \
         --keys tool \
         --output /data/sketch_metrics \
-        [--checkpoint-dir /data/ckpt --snapshot-id snap-42]
+        [--checkpoint-dir /data/ckpt --snapshot-id snap-42] \
+        [--wire-format reference]
+
+``--wire-format reference`` writes the sketch columns as JVM stream-lib
+wire bytes (hll / tdigest / qdigest / topk — the kinds with a sound
+reference export, see ``sketches/wire_export.py``), so a JVM consumer
+deserializes job outputs with stream-lib directly.
 
 With ``--checkpoint-dir`` the job runs through the resumable lineage
 path (jobs/checkpoint.py): re-running after a kill resumes from the
@@ -59,6 +65,10 @@ def main(argv=None):
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--snapshot-id", default="snap-0")
     ap.add_argument("--hash-mode", default="xxhash64", choices=["xxhash64", "murmur64"])
+    ap.add_argument("--wire-format", default="native", choices=["native", "reference"],
+                    help="'reference' re-serializes sketch columns as JVM "
+                         "stream-lib wire bytes (hll/tdigest/qdigest/topk "
+                         "only — see sketches/wire_export.py)")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -66,6 +76,11 @@ def main(argv=None):
     from .session import get_spark
     from .checkpoint import CheckpointedSketchJob
 
+    from pyspark.sql import SparkSession
+
+    # only stop a session this job created — getOrCreate() returns any
+    # live session (e.g. a host application invoking main() in-process)
+    owns_session = SparkSession.getActiveSession() is None
     spark = get_spark("run_sketches", cpus=args.cpus)
     if args.format == "csv":
         df = spark.read.option("header", True).option("inferSchema", True).csv(args.input)
@@ -97,12 +112,26 @@ def main(argv=None):
             sketches[name] = (col, spec)
         result = multi_sketch_agg(df, sketches, keys=args.keys, hash_mode=args.hash_mode)
 
+    if args.wire_format == "reference":
+        from pyspark.sql import functions as F
+
+        from ..sketches.wire_export import EXPORTABLE, reference_wire_udf
+
+        ops = list(map(parse_op, args.ops))
+        bad = [name for name, _c, spec in ops if spec.kind not in EXPORTABLE]
+        if bad:
+            ap.error(f"--wire-format reference: no sound export for {bad} "
+                     f"(exportable kinds: {', '.join(EXPORTABLE)})")
+        for name, _col, spec in ops:
+            result = result.withColumn(name, reference_wire_udf(spec.kind)(F.col(name)))
+
     result.write.mode("overwrite").parquet(args.output)
     wall = time.time() - t0
     print(json.dumps({"rows": n_rows, "wall_sec": round(wall, 3),
                       "rows_per_sec": round(n_rows / wall, 1),
                       "ops": args.ops, "output": args.output}))
-    spark.stop()
+    if owns_session:
+        spark.stop()
 
 
 if __name__ == "__main__":

@@ -1,0 +1,71 @@
+"""Native sketch blobs → REFERENCE wire bytes (the JVM-migration
+direction for job outputs).
+
+Which kinds are exportable is a semantic question, not a format one:
+
+  hll          sound — ``HyperLogLogPlus.getBytes`` layout via
+               ``hll_wire``; cardinality estimation never re-hashes
+               items, so a register state built with a different
+               (uniform) hash family is a valid HLL++ the JVM can load,
+               estimate, and merge with other sketches of the same
+               hash family.
+  tdigest      sound — centroids store VALUES; no hashing anywhere.
+  qdigest      sound — tree nodes store value ranges.
+  spacesaving  sound — counters store the ITEMS explicitly
+               (``spacesaving_wire``: Externalizable JOS stream).
+  cms, bloom   NOT exportable: the JVM probes by re-hashing the query
+               item with ITS hash family at query time — a table/bitset
+               built with our xxhash64 update path would answer
+               garbage.  (Their ``*_wire`` codecs still round-trip
+               REFERENCE-built blobs for import/query/merge.)
+  kll, bottomk no reference counterpart format.
+  countthenestimate  untipped native state holds item HASHES, not the
+               raw elements the reference serializes; tipped HLL++
+               states export via kind='hll' semantics if needed.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+EXPORTABLE = ("hll", "tdigest", "qdigest", "spacesaving")
+
+
+def reference_wire_udf(kind: str):
+    """Pandas UDF converting a column of native sketch blobs to
+    reference wire bytes (blob-per-row; state, not rows, crosses)."""
+    from pyspark.sql import functions as F, types as T
+
+    @F.pandas_udf(T.BinaryType())
+    def conv(blobs: pd.Series) -> pd.Series:
+        return blobs.map(lambda b: to_reference_wire(kind, bytes(b)))
+
+    return conv
+
+
+def to_reference_wire(kind: str, blob: bytes) -> bytes:
+    """One native sketch blob (our versioned codec) → reference bytes."""
+    if kind == "hll":
+        from .hll import HllPlusPlus
+        from .hll_wire import to_reference_bytes
+
+        return to_reference_bytes(HllPlusPlus.from_bytes(blob))
+    if kind == "tdigest":
+        from .tdigest import TDigest
+        from .tdigest_wire import to_reference_bytes
+
+        return to_reference_bytes(TDigest.from_bytes(blob))
+    if kind == "qdigest":
+        from .qdigest import QDigest
+        from .qdigest_wire import to_reference_bytes
+
+        return to_reference_bytes(QDigest.from_bytes(blob))
+    if kind == "spacesaving":
+        from .spacesaving import SpaceSaving
+        from .spacesaving_wire import from_native, to_reference_bytes
+
+        return to_reference_bytes(from_native(SpaceSaving.from_bytes(blob)))
+    raise ValueError(
+        f"sketch kind {kind!r} has no sound reference export "
+        f"(exportable: {', '.join(EXPORTABLE)}) — see wire_export.py for why"
+    )

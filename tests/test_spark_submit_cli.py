@@ -53,3 +53,54 @@ def test_spark_submit_py_files_end_to_end(spark, tmp_path):
     med = td.quantile(0.5)
     rank = np.searchsorted(amounts, med, side="right") / len(amounts)
     assert abs(rank - 0.5) <= 0.02 + 2.0 / len(amounts)
+
+
+def test_cli_wire_format_reference(spark, tmp_path):
+    """--wire-format reference: the job's output blobs are JVM
+    stream-lib wire bytes — parseable by the reference-format codecs
+    and carrying the same answers as the native run."""
+    from stream_lib_spark.jobs.run_sketches import main
+
+    out_n = tmp_path / "native_out"
+    out_r = tmp_path / "ref_out"
+    common = ["--input", f"{SF}/events.parquet",
+              "--ops", "hll:user_id:p=14", "tdigest:value:compression=100",
+              "topk:event_type:capacity=64", "qdigest:user_id:compression_factor=256",
+              "--cpus", "4"]
+    main(common + ["--output", str(out_n)])
+    main(common + ["--output", str(out_r), "--wire-format", "reference"])
+
+    from stream_lib_spark.agg import sketch_from_bytes
+    from stream_lib_spark.sketches.hll_wire import from_reference_bytes as hll_from
+    from stream_lib_spark.sketches.qdigest_wire import from_reference_bytes as qd_from, reference_quantile
+    from stream_lib_spark.sketches.spacesaving_wire import parse_reference_bytes as ss_parse
+    from stream_lib_spark.sketches.tdigest_wire import from_reference_bytes as td_from
+
+    nat = spark.read.parquet(str(out_n)).collect()[0]
+    ref = spark.read.parquet(str(out_r)).collect()[0]
+
+    hll_n = sketch_from_bytes(bytes(nat["hll_user_id"]))
+    hll_r = hll_from(bytes(ref["hll_user_id"]))
+    assert hll_r.cardinality() == hll_n.cardinality()
+
+    td_n = sketch_from_bytes(bytes(nat["tdigest_value"]))
+    td_r = td_from(bytes(ref["tdigest_value"]))
+    assert abs(td_r.quantile(0.5) - td_n.quantile(0.5)) < 1e-9
+
+    ss_n = sketch_from_bytes(bytes(nat["spacesaving_event_type"]))
+    ss_r = ss_parse(bytes(ref["spacesaving_event_type"]))
+    assert {(i, c) for i, c, _ in ss_r.top_k(5)} == {(i, c) for i, c, _ in ss_n.top_k(5)}
+
+    qd_r = qd_from(bytes(ref["qdigest_user_id"]))
+    qd_n = sketch_from_bytes(bytes(nat["qdigest_user_id"]))
+    assert reference_quantile(qd_r, 0.5) == qd_n.quantile(0.5)
+
+
+def test_cli_wire_format_rejects_unsound_kinds(tmp_path):
+    from stream_lib_spark.jobs.run_sketches import main
+
+    with pytest.raises(SystemExit):
+        main(["--input", f"{SF}/events.parquet",
+              "--ops", "cms:event_type:eps=1e-3,confidence=0.99",
+              "--output", str(tmp_path / "x"), "--cpus", "4",
+              "--wire-format", "reference"])
