@@ -654,6 +654,57 @@ def q_streaming_sketch_parity(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_keyed_streaming_parity(spark, sf_dir):
+    """Per-key stateful-streaming gate (applyInPandasWithState): the
+    events table replayed as a stream must land every event_type's HLL
+    state on EXACTLY the bytes batch-mode ``sketch_agg`` produces for
+    that key, with estimates inside the published bound of the exact
+    per-key distinct counts."""
+    _ship(spark)
+    import shutil
+    import tempfile
+    import uuid
+
+    from stream_lib_spark.agg import SketchSpec, sketch_agg
+    from stream_lib_spark.streaming import keyed_streaming_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    p = 12
+    spec = SketchSpec("hll", p=p)
+    work = os.path.join(tempfile.gettempdir(), f"keyed_stream_gate_{uuid.uuid4().hex}")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    try:
+        shutil.copy(os.path.join(sf_dir, "events.parquet"), src)
+        stream = spark.readStream.format("parquet").schema(ev.schema).load(src)
+        out = keyed_streaming_sketch(stream, ["event_type"], "user_id", spec)
+        sink = f"keyed_gate_{uuid.uuid4().hex[:12]}"
+        q = (out.writeStream.format("memory").queryName(sink)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination()
+        # last update per key = final state
+        streamed = {}
+        for r in spark.sql(f"SELECT * FROM {sink}").collect():
+            streamed[r["event_type"]] = (bytes(r["sketch"]), r["estimate"])
+        batch = {r["event_type"]: bytes(r["sketch"])
+                 for r in sketch_agg(ev, ["event_type"], "user_id", spec).collect()}
+        exact = {r["event_type"]: r["n"]
+                 for r in ev.groupBy("event_type").agg(
+                     F.countDistinct("user_id").alias("n")).collect()}
+        bound = 3.0 * 1.04 / math.sqrt(1 << p)
+        rows = [
+            (k, int(exact[k]),
+             bool(abs(streamed[k][1] - exact[k]) <= max(bound * exact[k], 1.0)),
+             bool(streamed[k][0] == batch[k]))
+            for k in sorted(exact)
+        ]
+        return spark.createDataFrame(
+            rows, "event_type string, exact_users long, "
+                  "stream_within_bound boolean, stream_equals_batch boolean")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_cms_probe_df(spark, sf_dir):
     """DataFrame-native CMS probe gate (no driver-side probe list):
     every distinct l_orderkey PLUS 1000 absent keys probed as a column
@@ -1068,6 +1119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_conservative_event_freq": q_cms_conservative_event_freq,
         "cms_probe_df": q_cms_probe_df,
         "streaming_sketch_parity": q_streaming_sketch_parity,
+        "keyed_streaming_parity": q_keyed_streaming_parity,
         "wire_interop": q_wire_interop,
         "keyed_topk_users": q_keyed_topk_users,
         "keyed_quantiles_by_type": q_keyed_quantiles_by_type,
@@ -1223,6 +1275,11 @@ def oracle_sql() -> dict[str, str]:
         "streaming_sketch_parity": (
             "SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users, "
             "TRUE AS stream_within_bound, TRUE AS stream_equals_batch FROM events"
+        ),
+        "keyed_streaming_parity": (
+            "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users, "
+            "TRUE AS stream_within_bound, TRUE AS stream_equals_batch "
+            "FROM events GROUP BY event_type ORDER BY event_type"
         ),
         "cms_probe_df": (
             "SELECT CAST(COUNT(DISTINCT l_orderkey) + 1000 AS BIGINT) AS n_probes, "

@@ -69,3 +69,59 @@ def to_reference_wire(kind: str, blob: bytes) -> bytes:
         f"sketch kind {kind!r} has no sound reference export "
         f"(exportable: {', '.join(EXPORTABLE)}) — see wire_export.py for why"
     )
+
+
+def from_reference_wire(kind: str, blob: bytes):
+    """Reference wire bytes → a queryable sketch: NATIVE where the
+    transplant is sound (hll/tdigest/qdigest/spacesaving — these merge
+    with native-built state), otherwise the reference-format wrapper
+    that queries/merges/re-serializes with the REFERENCE's own hash
+    family (cms/bloom/lc/loglog/adaptive/hllc/cte).  The uniform import
+    entry for a JVM user migrating stored stream-lib blobs in."""
+    if kind == "hll":
+        from .hll_wire import from_reference_bytes
+
+        return from_reference_bytes(blob)
+    if kind == "tdigest":
+        from .tdigest_wire import from_reference_bytes
+
+        return from_reference_bytes(blob)
+    if kind == "qdigest":
+        from .qdigest_wire import from_reference_bytes
+
+        return from_reference_bytes(blob)
+    if kind == "spacesaving":
+        from .spacesaving_wire import parse_reference_bytes
+
+        return parse_reference_bytes(blob).to_native()
+    if kind == "cms":
+        from .cms_wire import ReferenceCMS
+
+        return ReferenceCMS.from_bytes(blob)
+    if kind == "bloom":
+        from .bloom_wire import ReferenceBloom
+
+        return ReferenceBloom.from_bytes(blob)
+    if kind == "linearcounting":
+        import numpy as np
+
+        from .lc_wire import ReferenceLC
+
+        return ReferenceLC(np.frombuffer(blob, dtype=np.uint8).copy())
+    if kind == "loglog":
+        from .loglog_wire import ReferenceLogLog
+
+        return ReferenceLogLog(blob)
+    if kind == "adaptivecounting":
+        from .loglog_wire import ReferenceAdaptiveCounting
+
+        return ReferenceAdaptiveCounting(blob)
+    if kind == "hll_classic":
+        from .loglog_wire import ReferenceHyperLogLog
+
+        return ReferenceHyperLogLog.from_bytes(blob)
+    if kind == "countthenestimate":
+        from .cte_wire import parse_reference_bytes
+
+        return parse_reference_bytes(blob)
+    raise ValueError(f"unknown reference wire kind {kind!r}")

@@ -1,0 +1,91 @@
+"""Uniform wire import/export surface (sketches/wire_export.py): every
+golden family loads through from_reference_wire; exportable kinds
+round-trip native → reference → queryable with identical answers."""
+
+import base64
+import csv
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from stream_lib_spark.sketches.wire_export import (
+    EXPORTABLE,
+    from_reference_wire,
+    to_reference_wire,
+)
+
+GD = os.path.join(os.path.dirname(__file__), "..", "tools", "golden")
+csv.field_size_limit(sys.maxsize)
+
+
+def _first_blob(csv_name, b64_col=-1):
+    with open(os.path.join(GD, csv_name)) as f:
+        return base64.b64decode(next(csv.reader(f))[b64_col])
+
+
+@pytest.mark.parametrize("kind,csv_name", [
+    ("hll", "hllpp_wire_golden.csv"),
+    ("tdigest", "tdigest_wire_golden.csv"),
+    ("qdigest", "qdigest_wire_golden.csv"),
+    ("spacesaving", "spacesaving_wire_golden.csv"),
+    ("cms", "cms_wire_golden.csv"),
+    ("bloom", "bloom_wire_golden.csv"),
+    ("linearcounting", "lc_wire_golden.csv"),
+    ("hll_classic", "hllc_wire_golden.csv"),
+    ("countthenestimate", "cte_wire_golden.csv"),
+])
+def test_every_family_imports(kind, csv_name):
+    col = -1 if kind != "tdigest" else -2  # tdigest row: ..., big_b64, small_b64
+    sk = from_reference_wire(kind, _first_blob(csv_name, col))
+    assert sk is not None
+
+
+def test_loglog_families_import():
+    with open(os.path.join(GD, "loglog_wire_golden.csv")) as f:
+        for row in csv.reader(f):
+            kind = "loglog" if row[0] == "loglog" else "adaptivecounting"
+            sk = from_reference_wire(kind, base64.b64decode(row[-1]))
+            assert sk.cardinality() == int(row[3])
+
+
+def test_export_import_roundtrip_answers():
+    """Native sketches → reference wire → import → same answers."""
+    from stream_lib_spark.hashing import murmur64a_int64
+    from stream_lib_spark.sketches.hll import HllPlusPlus
+    from stream_lib_spark.sketches.qdigest import QDigest
+    from stream_lib_spark.sketches.spacesaving import SpaceSaving
+    from stream_lib_spark.sketches.tdigest import TDigest
+
+    hll = HllPlusPlus.new(p=12)
+    hll.update_hashed(murmur64a_int64(np.arange(5000, dtype=np.int64)))
+    back = from_reference_wire("hll", to_reference_wire("hll", hll.to_bytes()))
+    assert back.cardinality() == hll.cardinality()
+
+    td = TDigest(compression=100.0)
+    td.add_values(np.arange(10_000, dtype=np.float64))
+    td.compress()
+    back = from_reference_wire("tdigest", to_reference_wire("tdigest", td.to_bytes()))
+    assert abs(back.quantile(0.5) - td.quantile(0.5)) < 1e-9
+
+    qd = QDigest(compression_factor=256)
+    vals = (np.arange(3000, dtype=np.int64) * 37) % 10_000
+    u, c = np.unique(vals, return_counts=True)
+    qd.update_batch(u, c)
+    back = from_reference_wire("qdigest", to_reference_wire("qdigest", qd.to_bytes()))
+    assert back.n == qd.n
+
+    ss = SpaceSaving(16)
+    items = np.array([f"t{i % 25}" for i in range(200)], dtype=object)
+    u, c = np.unique(items.astype("U"), return_counts=True)
+    ss.update_batch(u.astype(object), c)
+    back = from_reference_wire("spacesaving", to_reference_wire("spacesaving", ss.to_bytes()))
+    assert back.top_k(5) == ss.top_k(5)
+
+
+def test_unsound_kinds_refused():
+    for kind in ("cms", "bloom", "kll", "bottomk"):
+        with pytest.raises(ValueError, match="no sound reference export"):
+            to_reference_wire(kind, b"")
+    assert set(EXPORTABLE) == {"hll", "tdigest", "qdigest", "spacesaving"}
