@@ -266,7 +266,8 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64, shingle: int = 5,
             sigs = sigs.view(np.int64)
             yield pd.DataFrame({
                 id_col: pdf[id_col].to_numpy(),
-                "signature": [s.tolist() for s in sigs],
+                # one C-level call for the whole (n_docs, k) matrix
+                "signature": sigs.tolist(),
             })
 
     prepared = _ensure_parallelism(docs.select(id_col, F.col(text_col))).select(

@@ -129,3 +129,29 @@ def test_cms_frequencies_df_matches_driver_probe(spark):
     assert df_side == driver_side
     # present keys are exact here (40 each, far under any collision)
     assert df_side["0"] == 40 and df_side["9999999"] <= 20
+
+
+def test_cms_frequencies_df_plan_is_driver_free(spark):
+    """Plan-shape pin for the probe ROUTE: probing is a single scan +
+    Arrow-batched pandas UDF over the broadcast blob — no shuffle
+    exchange, no per-row Python UDF, nothing returns to the driver."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from stream_lib_spark.functions import cms_frequencies_df
+
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    probes = spark.read.parquet("/root/testdata/sf0.001/part.parquet").select(
+        F.col("p_partkey").alias("item"))
+    out = cms_frequencies_df(df, "l_partkey", probes, "item", eps=1e-3)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "ArrowEvalPython" in plan          # vectorized probe UDF
+    assert "Exchange" not in plan             # probe column never shuffles
+    assert "BatchEvalPython" not in plan      # no row-at-a-time Python
+    # column pruning reached the probe scan
+    assert "ReadSchema: struct<p_partkey" in plan

@@ -44,12 +44,40 @@ def materialize_10x(spark, path: str = PATH_10X):
     return spark.read.parquet(path)
 
 
+PATH_EMB_10X = "/tmp/bench_emb10x.parquet"
+
+
+def materialize_emb_10x(spark, path: str = PATH_EMB_10X):
+    """10x embeddings: copy k shifts coordinate k%64 by 0.05*(k+1) —
+    vectors stay distinct, cluster structure is preserved, true ANN work
+    grows linearly with the corpus."""
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        copies = None
+        for k in range(10):
+            c = emb.select(
+                (F.col("vec_id") + k * 10_000_000).alias("vec_id"),
+                F.transform(
+                    F.col("embedding").cast("array<double>"),
+                    lambda x, i: x + F.when(i == k % 64, 0.05 * (k + 1)).otherwise(0.0),
+                ).alias("embedding"),
+            )
+            copies = c if copies is None else copies.unionByName(c)
+        copies.repartition(32).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def run(spark) -> dict:
+    from stream_lib_spark.similarity import ivf_topk
     from stream_lib_spark.textops import minhash_lsh_pairs, winnowing_fingerprints
 
     docs1 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     docs10 = materialize_10x(spark)
     n1, n10 = docs1.count(), docs10.count()
+    emb1 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    emb10 = materialize_emb_10x(spark)
+    queries = emb1.where(F.col("vec_id") < 100)
 
     # warm both pipeline shapes once (policy: steady-state timing)
     minhash_lsh_pairs(docs1.limit(50), threshold=0.5).count()
@@ -65,12 +93,16 @@ def run(spark) -> dict:
 
     out = {"rows_1x": n1, "rows_10x": n10,
            "policy": f"min of {REPEATS} steady-state runs; 10x = token-rewritten copies (linear true-work growth)"}
-    for name, fn in [
-        ("minhash_dedup", lambda d: minhash_lsh_pairs(d, threshold=0.5).count()),
-        ("winnowing", lambda d: winnowing_fingerprints(d).count()),
+    for name, d1, d10, fn in [
+        ("minhash_dedup", docs1, docs10,
+         lambda d: minhash_lsh_pairs(d, threshold=0.5).count()),
+        ("winnowing", docs1, docs10,
+         lambda d: winnowing_fingerprints(d).count()),
+        ("ivf_ann_100q", emb1, emb10,
+         lambda d: ivf_topk(d, queries, k=5, n_lists=32, n_probe=8).count()),
     ]:
-        s1 = best(lambda: fn(docs1))
-        s10 = best(lambda: fn(docs10))
+        s1 = best(lambda: fn(d1))
+        s10 = best(lambda: fn(d10))
         out[name] = {"sec_1x": s1, "sec_10x": s10,
                      "ratio_10x": round(s10 / s1, 2) if s1 > 0 else None}
     return out
