@@ -705,6 +705,67 @@ def q_keyed_streaming_parity(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_windowed_streaming_parity(spark, sf_dir):
+    """Event-time windowed streaming gate (watermarked
+    applyInPandasWithState): replaying events as a stream must land each
+    1-day tumbling window's HLL state on EXACTLY the bytes batch-mode
+    keyed ``sketch_agg`` produces for that window, with estimates inside
+    the published bound of the exact per-window distinct counts.  One
+    availableNow batch sees every row (the initial watermark drops
+    nothing), so the single update row per window is the total state."""
+    _ship(spark)
+    import shutil
+    import tempfile
+    import uuid
+
+    from stream_lib_spark.agg import SketchSpec, sketch_agg
+    from stream_lib_spark.streaming import windowed_streaming_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    p = 12
+    spec = SketchSpec("hll", p=p)
+    work = os.path.join(tempfile.gettempdir(), f"win_stream_gate_{uuid.uuid4().hex}")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    try:
+        shutil.copy(os.path.join(sf_dir, "events.parquet"), src)
+        stream = (spark.readStream.format("parquet").schema(ev.schema).load(src)
+                  # watermarking requires TIMESTAMP (the table stores NTZ;
+                  # session tz is pinned UTC so the wall times are identical)
+                  .withColumn("ts", F.col("ts").cast("timestamp")))
+        out = windowed_streaming_sketch(stream, "ts", "1 day", "user_id", spec,
+                                        watermark="1 hour")
+        sink = f"win_gate_{uuid.uuid4().hex[:12]}"
+        q = (out.writeStream.format("memory").queryName(sink)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination()
+        streamed = {}
+        for r in spark.sql(f"SELECT * FROM {sink}").collect():
+            # keep the richest state per window (finals re-emit the same
+            # bytes; update rows are cumulative, one per batch)
+            streamed[r["window_start"]] = (bytes(r["sketch"]), r["estimate"])
+        win = F.window(F.col("ts").cast("timestamp"), "1 day")["start"].cast("string")
+        batch = {r["window_start"]: bytes(r["sketch"])
+                 for r in sketch_agg(ev.withColumn("window_start", win),
+                                     ["window_start"], "user_id", spec).collect()}
+        exact = {r["window_start"]: r["n"]
+                 for r in ev.withColumn("window_start", win)
+                 .groupBy("window_start")
+                 .agg(F.countDistinct("user_id").alias("n")).collect()}
+        bound = 3.0 * 1.04 / math.sqrt(1 << p)
+        rows = [
+            (k, int(exact[k]),
+             bool(abs(streamed[k][1] - exact[k]) <= max(bound * exact[k], 1.0)),
+             bool(streamed[k][0] == batch[k]))
+            for k in sorted(exact)
+        ]
+        return spark.createDataFrame(
+            rows, "window_start string, exact_users long, "
+                  "stream_within_bound boolean, stream_equals_batch boolean")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_cms_probe_df(spark, sf_dir):
     """DataFrame-native CMS probe gate (no driver-side probe list):
     every distinct l_orderkey PLUS 1000 absent keys probed as a column
@@ -1120,6 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_probe_df": q_cms_probe_df,
         "streaming_sketch_parity": q_streaming_sketch_parity,
         "keyed_streaming_parity": q_keyed_streaming_parity,
+        "windowed_streaming_parity": q_windowed_streaming_parity,
         "wire_interop": q_wire_interop,
         "keyed_topk_users": q_keyed_topk_users,
         "keyed_quantiles_by_type": q_keyed_quantiles_by_type,
@@ -1280,6 +1342,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users, "
             "TRUE AS stream_within_bound, TRUE AS stream_equals_batch "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "windowed_streaming_parity": (
+            "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start, "
+            "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users, "
+            "TRUE AS stream_within_bound, TRUE AS stream_equals_batch "
+            "FROM events GROUP BY 1 ORDER BY 1"
         ),
         "cms_probe_df": (
             "SELECT CAST(COUNT(DISTINCT l_orderkey) + 1000 AS BIGINT) AS n_probes, "

@@ -187,9 +187,14 @@ def main():
         from stream_lib_spark.jobs.session import get_spark
         from tools.bench_scale_trend import run as trend_run
 
-        tspark = get_spark("bench-scale-trend")
-        trend_out = trend_run(tspark)
-        tspark.stop()
+        # evidence sections are best-effort: a failure degrades the
+        # artifact (error string recorded), never kills the headline
+        try:
+            tspark = get_spark("bench-scale-trend")
+            trend_out = trend_run(tspark)
+            tspark.stop()
+        except Exception as e:  # pragma: no cover
+            trend_out = {"error": f"{type(e).__name__}: {e}"[:300]}
     skew_out = None
     if "--no-skew" not in sys.argv:
         # planted hot-key evidence (one conv_id owns 30% of rows): per-
@@ -198,7 +203,10 @@ def main():
         # Runs in its own UI-enabled session AFTER the bench session stops.
         from tools.bench_skew import orchestrate as skew_orchestrate
 
-        skew_out = skew_orchestrate()
+        try:
+            skew_out = skew_orchestrate()
+        except Exception as e:  # pragma: no cover
+            skew_out = {"error": f"{type(e).__name__}: {e}"[:300]}
     out = {
         "metric": "sketch_bench_total",
         "value": round(sum(timings.values()), 3),

@@ -69,21 +69,30 @@ def _app_id(port: int) -> str:
 
 
 def _stage_ids(port: int, app: str) -> set[tuple[int, int]]:
-    return {(s["stageId"], s["attemptId"]) for s in _api(port, f"applications/{app}/stages")}
+    try:
+        return {(s["stageId"], s["attemptId"])
+                for s in _api(port, f"applications/{app}/stages")}
+    except Exception:
+        return set()
 
 
 def _heaviest_stage_tasks(port: int, app: str, new_stages: set[tuple[int, int]]) -> list[float]:
     """Task durations (sec) of the new stage with the largest total
-    executor run time — the aggregation stage for every path here."""
-    best, best_run = None, -1
-    for s in _api(port, f"applications/{app}/stages?status=COMPLETE"):
-        key = (s["stageId"], s["attemptId"])
-        if key in new_stages and s.get("executorRunTime", 0) > best_run:
-            best, best_run = key, s["executorRunTime"]
-    if best is None:
+    executor run time — the aggregation stage for every path here.
+    Metric reads are best-effort: a REST hiccup degrades the artifact to
+    walls-only instead of killing the whole bench."""
+    try:
+        best, best_run = None, -1
+        for s in _api(port, f"applications/{app}/stages?status=COMPLETE"):
+            key = (s["stageId"], s["attemptId"])
+            if key in new_stages and s.get("executorRunTime", 0) > best_run:
+                best, best_run = key, s["executorRunTime"]
+        if best is None:
+            return []
+        tasks = _api(port, f"applications/{app}/stages/{best[0]}/{best[1]}/taskList?length=5000")
+        return sorted(t["duration"] / 1000.0 for t in tasks if "duration" in t)
+    except Exception:
         return []
-    tasks = _api(port, f"applications/{app}/stages/{best[0]}/{best[1]}/taskList?length=5000")
-    return sorted(t["duration"] / 1000.0 for t in tasks if "duration" in t)
 
 
 # ------------------------------------------------------------------- paths
@@ -130,7 +139,10 @@ def orchestrate(spark=None) -> dict:
         spark = get_spark("bench-skew", extra_conf={
             "spark.ui.enabled": "true", "spark.ui.port": str(UI_PORT)})
     port = int(spark.sparkContext.getConf().get("spark.ui.port", str(UI_PORT)))
-    app = _app_id(port)
+    try:
+        app = _app_id(port)
+    except Exception:
+        app = None  # UI unreachable: record walls + byte-identity only
     df = skew_input(spark)
     df.count()  # warm the scan + codegen before any timed path
 
@@ -140,11 +152,12 @@ def orchestrate(spark=None) -> dict:
     for name, fn in [("row_shuffle", path_row_shuffle),
                      ("row_shuffle_salted", path_row_shuffle_salted),
                      ("two_level", path_two_level)]:
-        before = _stage_ids(port, app)
+        before = _stage_ids(port, app) if app else set()
         t0 = time.time()
         results[name] = fn(spark, df)
         wall = time.time() - t0
-        tasks = _heaviest_stage_tasks(port, app, _stage_ids(port, app) - before)
+        tasks = (_heaviest_stage_tasks(port, app, _stage_ids(port, app) - before)
+                 if app else [])
         med = tasks[len(tasks) // 2] if tasks else 0.0
         out["paths"][name] = {
             "wall_sec": round(wall, 3),
