@@ -180,33 +180,32 @@ def main():
     spark = _session(CPUS)
     timings, extras = bench_queries(spark)
     spark.stop()
-    trend_out = None
-    if "--no-trend" not in sys.argv:
-        # dedup-family scale trend: 1x vs deterministic 10x documents;
-        # near-linear ratio = no hidden quadratic term in the banded joins
-        from stream_lib_spark.jobs.session import get_spark
-        from tools.bench_scale_trend import run as trend_run
+    # Evidence sections run as SUBPROCESSES: a stopped SparkContext's
+    # JVM stays resident in-process (GC/compiler pools keep burning
+    # cycles — the round-3 scaling lesson), so in-process sections would
+    # accumulate dead JVMs and skew each other 2-4x.  Each subprocess
+    # exits completely before the next starts.  Best-effort: a failure
+    # degrades the artifact (error string recorded), never kills the
+    # headline.
+    def _section(script: str) -> dict:
+        import subprocess
 
-        # evidence sections are best-effort: a failure degrades the
-        # artifact (error string recorded), never kills the headline
+        here = os.path.dirname(os.path.abspath(__file__))
+        r = subprocess.run([sys.executable, os.path.join(here, script)],
+                           capture_output=True, text=True, timeout=1800)
         try:
-            tspark = get_spark("bench-scale-trend")
-            trend_out = trend_run(tspark)
-            tspark.stop()
-        except Exception as e:  # pragma: no cover
-            trend_out = {"error": f"{type(e).__name__}: {e}"[:300]}
-    skew_out = None
-    if "--no-skew" not in sys.argv:
-        # planted hot-key evidence (one conv_id owns 30% of rows): per-
-        # reducer task times for row-shuffle vs salted vs two-level, plus
-        # byte-identity of the merged state — see tools/bench_skew.py.
-        # Runs in its own UI-enabled session AFTER the bench session stops.
-        from tools.bench_skew import orchestrate as skew_orchestrate
+            lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+            return json.loads(lines[-1])
+        except Exception:  # pragma: no cover
+            return {"error": f"rc={r.returncode}: {r.stderr[-250:]}"}
 
-        try:
-            skew_out = skew_orchestrate()
-        except Exception as e:  # pragma: no cover
-            skew_out = {"error": f"{type(e).__name__}: {e}"[:300]}
+    # dedup/ANN scale trend: 1x vs deterministic 10x; near-linear ratio
+    # = no hidden quadratic term in the banded/bucketed joins
+    trend_out = None if "--no-trend" in sys.argv else _section("tools/bench_scale_trend.py")
+    # planted hot-key evidence (one conv_id owns 30% of rows): per-
+    # reducer task times for row-shuffle vs salted vs two-level, plus
+    # byte-identity of the merged state — see tools/bench_skew.py
+    skew_out = None if "--no-skew" in sys.argv else _section("tools/bench_skew.py")
     out = {
         "metric": "sketch_bench_total",
         "value": round(sum(timings.values()), 3),

@@ -112,5 +112,8 @@ if __name__ == "__main__":
     from stream_lib_spark.jobs.session import get_spark
 
     spark = get_spark("bench-scale-trend")
-    print(json.dumps(run(spark), indent=2))
+    # ONE line: bench.py runs this as a subprocess and parses the last
+    # stdout line (full process isolation — a stopped SparkContext's JVM
+    # would otherwise stay resident and skew later sections)
+    print(json.dumps(run(spark)))
     spark.stop()

@@ -176,4 +176,5 @@ def orchestrate(spark=None) -> dict:
 
 
 if __name__ == "__main__":
-    print(json.dumps(orchestrate(), indent=2))
+    # ONE line: bench.py subprocess-parses the last stdout line
+    print(json.dumps(orchestrate()))
