@@ -22,3 +22,8 @@ __all__ = [
     "SpaceSaving",
     "TDigest",
 ]
+
+# uniform reference-wire import/export surface (lazy imports inside)
+from .wire_export import EXPORTABLE, from_reference_wire, to_reference_wire  # noqa: E402
+
+__all__ += ["EXPORTABLE", "from_reference_wire", "to_reference_wire"]
