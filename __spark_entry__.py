@@ -611,6 +611,36 @@ def q_cms_conservative_event_freq(spark, sf_dir):
     return spark.createDataFrame(rows, "event_type string, exact_cnt long, cons_ok boolean")
 
 
+def q_hll_intersection_users(spark, sf_dir):
+    """Set-intersection gate (the reference's
+    TestMerge_SparseIntersection algebra at scale): distinct users doing
+    'click' AND 'purchase', estimated by inclusion-exclusion over two
+    distributed HLLs; the exact oracle is a self-join distinct count.
+    Bound: 3·rse·(|A| + |B| + |A∪B|) — error compounds across the three
+    estimates."""
+    _ship(spark)
+    from stream_lib_spark.agg import SketchSpec, collect_sketch, sketch_agg
+    from stream_lib_spark.functions import hll_intersection_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    p = 14
+    spec = SketchSpec("hll", p=p)
+    a = collect_sketch(sketch_agg(ev.where(F.col("event_type") == "click"),
+                                  [], "user_id", spec))
+    b = collect_sketch(sketch_agg(ev.where(F.col("event_type") == "purchase"),
+                                  [], "user_id", spec))
+    est = hll_intersection_estimate(a, b)
+    clicks = ev.where(F.col("event_type") == "click").select("user_id")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id")
+    exact = clicks.intersect(purchases).count()
+    union_exact = clicks.union(purchases).distinct().count()
+    rse = 1.04 / math.sqrt(1 << p)
+    bound = 3.0 * rse * (a.cardinality() + b.cardinality() + union_exact) + 1.0
+    return spark.createDataFrame(
+        [(exact, bool(abs(est - exact) <= bound))],
+        "exact_both long, intersection_ok boolean")
+
+
 def q_streaming_sketch_parity(spark, sf_dir):
     """Streaming-ingestion gate: the events table replayed through a
     Structured Streaming query (availableNow trigger, foreachBatch fold
@@ -1179,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bottomk_partkey_sample": q_bottomk_partkey_sample,
         "cms_conservative_event_freq": q_cms_conservative_event_freq,
         "cms_probe_df": q_cms_probe_df,
+        "hll_intersection_users": q_hll_intersection_users,
         "streaming_sketch_parity": q_streaming_sketch_parity,
         "keyed_streaming_parity": q_keyed_streaming_parity,
         "windowed_streaming_parity": q_windowed_streaming_parity,
@@ -1333,6 +1364,13 @@ def oracle_sql() -> dict[str, str]:
         "cms_conservative_event_freq": (
             "SELECT event_type, COUNT(*) AS exact_cnt, TRUE AS cons_ok "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "hll_intersection_users": (
+            "SELECT CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS exact_both, "
+            "TRUE AS intersection_ok FROM "
+            "(SELECT DISTINCT user_id FROM events WHERE event_type = 'click') a "
+            "JOIN (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') b "
+            "ON a.user_id = b.user_id"
         ),
         "streaming_sketch_parity": (
             "SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users, "

@@ -103,6 +103,22 @@ def cms_frequencies(df: DataFrame, col: str, probe_items: list, eps: float = 1e-
     return spark.createDataFrame(list(zip(items, [int(e) for e in est])), ["item", "est_count"])
 
 
+def hll_intersection_estimate(sk_a, sk_b) -> float:
+    """|A ∩ B| by inclusion-exclusion over HLL estimates:
+    |A| + |B| − |A ∪ B| (union = non-mutating register merge).
+
+    The reference exercises exactly this algebra in
+    ``TestHyperLogLogPlus.testMerge_SparseIntersection``
+    (``src/test/java/.../TestHyperLogLogPlus.java:489-515``): in the
+    sparse-exact regime the result is EXACT; in the dense regime the
+    error compounds to ~rse·(|A| + |B| + |A∪B|), so small overlaps of
+    large sets drown in noise — callers wanting guaranteed overlap
+    accuracy should intersect bottom-k samples instead.  Inputs are not
+    mutated (the union merges a deserialized copy)."""
+    union = sketch_from_bytes(sk_a.to_bytes()).merge(sk_b)
+    return float(sk_a.cardinality() + sk_b.cardinality() - union.cardinality())
+
+
 def cms_frequencies_df(df: DataFrame, col: str, probes: DataFrame,
                        probe_col: str | None = None, eps: float = 1e-4,
                        confidence: float = 0.99, conservative: bool = False,
