@@ -641,6 +641,38 @@ def q_hll_intersection_users(spark, sf_dir):
         "exact_both long, intersection_ok boolean")
 
 
+def q_bottomk_overlap_users(spark, sf_dir):
+    """Bottom-k coordinated-sample overlap gate: Jaccard + intersection
+    of 'click' vs 'purchase' user sets from two distributed bottom-k
+    samples (same hash), vs the exact self-join oracle.  Bound:
+    3·√(J(1−J)/k) on Jaccard, propagated through the union estimate —
+    the guaranteed-accuracy overlap route (vs HLL inclusion-exclusion)."""
+    _ship(spark)
+    from stream_lib_spark.agg import SketchSpec, collect_sketch, sketch_agg
+    from stream_lib_spark.functions import bottomk_overlap_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    k = 1024
+    spec = SketchSpec("bottomk", k=k)
+    a = collect_sketch(sketch_agg(ev.where(F.col("event_type") == "click"),
+                                  [], "user_id", spec))
+    b = collect_sketch(sketch_agg(ev.where(F.col("event_type") == "purchase"),
+                                  [], "user_id", spec))
+    est = bottomk_overlap_estimate(a, b)
+    clicks = ev.where(F.col("event_type") == "click").select("user_id")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id")
+    exact_i = clicks.intersect(purchases).count()
+    exact_u = clicks.union(purchases).distinct().count()
+    exact_j = exact_i / exact_u if exact_u else 0.0
+    se = math.sqrt(max(exact_j * (1 - exact_j), 1e-9) / k)
+    j_ok = abs(est["jaccard"] - exact_j) <= 3 * se + 1e-9
+    # intersection inherits Jaccard noise + union-estimate noise
+    i_ok = abs(est["intersection"] - exact_i) <= (3 * se + 3.0 / math.sqrt(k)) * exact_u + 2.0
+    return spark.createDataFrame(
+        [(exact_i, exact_u, bool(j_ok), bool(i_ok))],
+        "exact_both long, exact_union long, jaccard_ok boolean, intersection_ok boolean")
+
+
 def q_streaming_sketch_parity(spark, sf_dir):
     """Streaming-ingestion gate: the events table replayed through a
     Structured Streaming query (availableNow trigger, foreachBatch fold
@@ -1210,6 +1242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_conservative_event_freq": q_cms_conservative_event_freq,
         "cms_probe_df": q_cms_probe_df,
         "hll_intersection_users": q_hll_intersection_users,
+        "bottomk_overlap_users": q_bottomk_overlap_users,
         "streaming_sketch_parity": q_streaming_sketch_parity,
         "keyed_streaming_parity": q_keyed_streaming_parity,
         "windowed_streaming_parity": q_windowed_streaming_parity,
@@ -1364,6 +1397,13 @@ def oracle_sql() -> dict[str, str]:
         "cms_conservative_event_freq": (
             "SELECT event_type, COUNT(*) AS exact_cnt, TRUE AS cons_ok "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "bottomk_overlap_users": (
+            "WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'), "
+            "b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') "
+            "SELECT CAST((SELECT COUNT(*) FROM a JOIN b USING (user_id)) AS BIGINT) AS exact_both, "
+            "CAST((SELECT COUNT(DISTINCT user_id) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b)) AS BIGINT) AS exact_union, "
+            "TRUE AS jaccard_ok, TRUE AS intersection_ok"
         ),
         "hll_intersection_users": (
             "SELECT CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS exact_both, "

@@ -119,6 +119,33 @@ def hll_intersection_estimate(sk_a, sk_b) -> float:
     return float(sk_a.cardinality() + sk_b.cardinality() - union.cardinality())
 
 
+def bottomk_overlap_estimate(sk_a, sk_b) -> dict:
+    """Set overlap from two bottom-k samples over the SAME hash
+    function (the guaranteed-accuracy alternative the HLL
+    inclusion-exclusion docstring points at): take the k smallest
+    hashes of the UNION; the fraction of those present in BOTH samples
+    is an unbiased Jaccard estimator with s.e. ≈ √(J(1−J)/k)
+    (classic MinHash/bottom-k coordination), and
+    |A∩B| ≈ J · |A∪B|_bottom-k.
+
+    Works because a hash in the union's bottom-k that belongs to A is
+    necessarily in A's bottom-k too (it is smaller than A's k-th
+    smallest) — so membership tests against the two samples are exact.
+    Returns {jaccard, intersection, union} estimates."""
+    import numpy as np
+
+    if sk_a.k != sk_b.k:
+        raise ValueError("bottom-k overlap needs equal k")
+    union = type(sk_a).from_bytes(sk_a.to_bytes()).merge(sk_b)
+    uh = union.hashes  # sorted ascending, truncated to k
+    in_a = np.isin(uh, sk_a.hashes)
+    in_b = np.isin(uh, sk_b.hashes)
+    both = int((in_a & in_b).sum())
+    j = both / len(uh) if len(uh) else 0.0
+    u_est = union.distinct_estimate()
+    return {"jaccard": float(j), "intersection": float(j * u_est), "union": float(u_est)}
+
+
 def cms_frequencies_df(df: DataFrame, col: str, probes: DataFrame,
                        probe_col: str | None = None, eps: float = 1e-4,
                        confidence: float = 0.99, conservative: bool = False,

@@ -144,3 +144,32 @@ def test_bottomk_distinct_estimator_high_card():
     sk.update_batch(u.astype(object), c)
     est = sk.distinct_estimate()
     assert abs(est - 50_000) / 50_000 < 0.15  # ~1/sqrt(k) rse
+
+
+def test_bottomk_overlap_planted():
+    """Planted overlap: |A|=3000, |B|=2000, |A∩B|=1000 (J=0.25) —
+    bottom-k coordinated samples recover Jaccard within 3σ and the
+    exhaustive-sample case is exact."""
+    import numpy as np
+
+    from stream_lib_spark.functions import bottomk_overlap_estimate
+    from stream_lib_spark.sketches.bottomk import BottomKSample
+
+    a_items = np.array([f"u{i}" for i in range(3000)], dtype=object)
+    b_items = np.array([f"u{i}" for i in range(2000, 4000)], dtype=object)
+    k = 512
+    a = BottomKSample(k=k).update_batch(a_items, np.ones(3000, dtype=np.int64))
+    b = BottomKSample(k=k).update_batch(b_items, np.ones(2000, dtype=np.int64))
+    est = bottomk_overlap_estimate(a, b)
+    true_j = 1000 / 4000
+    se = (true_j * (1 - true_j) / k) ** 0.5
+    assert abs(est["jaccard"] - true_j) <= 3 * se
+    assert abs(est["union"] - 4000) <= 3 * 4000 / k ** 0.5
+    assert abs(est["intersection"] - 1000) <= (3 * se + 3 / k ** 0.5) * 4000
+
+    # exhaustive regime (both sets smaller than k): exact
+    sa = BottomKSample(k=512).update_batch(a_items[:100], np.ones(100, dtype=np.int64))
+    sb = BottomKSample(k=512).update_batch(a_items[50:150], np.ones(100, dtype=np.int64))
+    est = bottomk_overlap_estimate(sa, sb)
+    assert est["union"] == 150.0 and est["intersection"] == 50.0
+    assert abs(est["jaccard"] - 50 / 150) < 1e-12
