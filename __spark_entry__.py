@@ -611,6 +611,30 @@ def q_cms_conservative_event_freq(spark, sf_dir):
     return spark.createDataFrame(rows, "event_type string, exact_cnt long, cons_ok boolean")
 
 
+def q_tdigest_cdf_values(spark, sf_dir):
+    """Inverse-quantile (cdf) gate — the reference's ``TDigest.cdf(x)``
+    surface (``quantile/TDigest.java``): at five probe values the
+    sketch cdf must sit within rank error of the exact distributed rank;
+    KLL's ``rank`` is checked at the same probes."""
+    _ship(spark)
+    from stream_lib_spark.agg import SketchSpec, collect_sketch, sketch_agg
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    td = collect_sketch(sketch_agg(ev, [], "value", SketchSpec("tdigest", compression=100.0)))
+    kll = collect_sketch(sketch_agg(ev, [], "value", SketchSpec("kll", k=200)))
+    n = ev.count()
+    probes = [td.quantile(q) for q in QS]
+    agg = ev.agg(*[F.sum((F.col("value") <= F.lit(v)).cast("long")).alias(f"r{i}")
+                   for i, v in enumerate(probes)]).collect()[0]
+    rows = []
+    for i, q in enumerate(QS):
+        exact_rank = agg[f"r{i}"] / n
+        rows.append((q,
+                     bool(abs(td.cdf(probes[i]) - exact_rank) <= 0.012),
+                     bool(abs(kll.rank(probes[i]) - exact_rank) <= 1.5 / 200 * 3 + 0.01)))
+    return spark.createDataFrame(rows, "q double, tdigest_cdf_ok boolean, kll_rank_ok boolean")
+
+
 def q_hll_intersection_users(spark, sf_dir):
     """Set-intersection gate (the reference's
     TestMerge_SparseIntersection algebra at scale): distinct users doing
@@ -1243,6 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_probe_df": q_cms_probe_df,
         "hll_intersection_users": q_hll_intersection_users,
         "bottomk_overlap_users": q_bottomk_overlap_users,
+        "tdigest_cdf_values": q_tdigest_cdf_values,
         "streaming_sketch_parity": q_streaming_sketch_parity,
         "keyed_streaming_parity": q_keyed_streaming_parity,
         "windowed_streaming_parity": q_windowed_streaming_parity,
@@ -1397,6 +1422,10 @@ def oracle_sql() -> dict[str, str]:
         "cms_conservative_event_freq": (
             "SELECT event_type, COUNT(*) AS exact_cnt, TRUE AS cons_ok "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "tdigest_cdf_values": (
+            "SELECT q, TRUE AS tdigest_cdf_ok, TRUE AS kll_rank_ok "
+            "FROM (VALUES (0.01), (0.1), (0.5), (0.9), (0.99)) AS t(q) ORDER BY q"
         ),
         "bottomk_overlap_users": (
             "WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'), "
