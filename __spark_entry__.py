@@ -611,6 +611,49 @@ def q_cms_conservative_event_freq(spark, sf_dir):
     return spark.createDataFrame(rows, "event_type string, exact_cnt long, cons_ok boolean")
 
 
+def q_multi_sketch_one_pass(spark, sf_dir):
+    """multi_sketch_agg gate: ONE scan / ONE Arrow crossing builds an
+    HLL (distinct users), a t-digest (value median) and a CMS
+    (event_type counts) together; each must match its own exact answer
+    within its published bound, and the blobs must be byte-identical to
+    the three single-sketch runs (same partials, same merge)."""
+    _ship(spark)
+    from stream_lib_spark.agg import (
+        SketchSpec,
+        collect_sketch,
+        multi_sketch_agg,
+        sketch_agg,
+        sketch_from_bytes,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    p = 13
+    specs = {
+        "hll_users": ("user_id", SketchSpec("hll", p=p)),
+        "td_value": ("value", SketchSpec("tdigest", compression=100.0)),
+        "cms_types": ("event_type", SketchSpec("cms", eps=1e-3, confidence=0.99)),
+    }
+    row = multi_sketch_agg(ev, specs).collect()[0]
+    hll = sketch_from_bytes(bytes(row["hll_users"]))
+    td = sketch_from_bytes(bytes(row["td_value"]))
+
+    exact_users = ev.select("user_id").distinct().count()
+    n_val = ev.where(F.col("value").isNotNull()).count()
+    med = td.quantile(0.5)
+    rank = ev.where(F.col("value").isNotNull()).agg(
+        F.sum((F.col("value") <= F.lit(med)).cast("long"))).collect()[0][0]
+    hll_ok = abs(hll.cardinality() - exact_users) <= max(
+        3.0 * 1.04 / math.sqrt(1 << p) * exact_users, 2.0)
+    td_ok = abs(rank / n_val - 0.5) <= 0.012
+    same_hll = bytes(row["hll_users"]) == collect_sketch(
+        sketch_agg(ev, [], "user_id", SketchSpec("hll", p=p))).to_bytes()
+    same_cms = bytes(row["cms_types"]) == collect_sketch(
+        sketch_agg(ev, [], "event_type", SketchSpec("cms", eps=1e-3, confidence=0.99))).to_bytes()
+    return spark.createDataFrame(
+        [(exact_users, bool(hll_ok), bool(td_ok), bool(same_hll and same_cms))],
+        "exact_users long, hll_ok boolean, tdigest_ok boolean, single_pass_bytes_equal boolean")
+
+
 def q_tdigest_cdf_values(spark, sf_dir):
     """Inverse-quantile (cdf) gate — the reference's ``TDigest.cdf(x)``
     surface (``quantile/TDigest.java``): at five probe values the
@@ -1268,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_intersection_users": q_hll_intersection_users,
         "bottomk_overlap_users": q_bottomk_overlap_users,
         "tdigest_cdf_values": q_tdigest_cdf_values,
+        "multi_sketch_one_pass": q_multi_sketch_one_pass,
         "streaming_sketch_parity": q_streaming_sketch_parity,
         "keyed_streaming_parity": q_keyed_streaming_parity,
         "windowed_streaming_parity": q_windowed_streaming_parity,
@@ -1422,6 +1466,11 @@ def oracle_sql() -> dict[str, str]:
         "cms_conservative_event_freq": (
             "SELECT event_type, COUNT(*) AS exact_cnt, TRUE AS cons_ok "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "multi_sketch_one_pass": (
+            "SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users, "
+            "TRUE AS hll_ok, TRUE AS tdigest_ok, TRUE AS single_pass_bytes_equal "
+            "FROM events"
         ),
         "tdigest_cdf_values": (
             "SELECT q, TRUE AS tdigest_cdf_ok, TRUE AS kll_rank_ok "
