@@ -89,3 +89,25 @@ def test_quantile_sketch_fan_in_topology(spark, kind, spec):
         assert sketch_from_bytes(forced).n == li.count()
     else:
         assert sketch_from_bytes(forced).total == sketch_from_bytes(off).total == li.count()
+
+
+def test_global_sketch_agg_plan_shape(spark):
+    """Regression pin for the global-aggregate plan: pruned scan →
+    partition-local MapInArrow partials → ONE exchange carrying only
+    sketch blobs → single MapInPandas fold.  A second exchange or an
+    unpruned scan is a scale regression."""
+    import re
+
+    from stream_lib_spark.agg import SketchSpec, sketch_agg
+
+    df = spark.read.parquet(f"{SF}/lineitem.parquet")
+    out = sketch_agg(df, [], "l_orderkey", SketchSpec("hll", p=12))
+    plan = _plan(out)
+    # one Exchange NODE (it prints once in the tree and once in detail)
+    node_ids = {m for m in re.findall(r"\((\d+)\) Exchange", plan)}
+    assert len(node_ids) == 1
+    assert "ReadSchema: struct<l_orderkey:bigint>" in plan  # pruned scan
+    # partials (MapInArrow) below the exchange, fold (MapInPandas) above
+    # it in the formatted tree (root prints first)
+    tree = plan[: plan.index("(1) Scan")]
+    assert tree.index("MapInPandas") < tree.index("Exchange") < tree.index("MapInArrow")
