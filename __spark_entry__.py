@@ -611,6 +611,54 @@ def q_cms_conservative_event_freq(spark, sf_dir):
     return spark.createDataFrame(rows, "event_type string, exact_cnt long, cons_ok boolean")
 
 
+def q_checkpoint_resume_parity(spark, sf_dir):
+    """North-rule resumability gate: a checkpointed sketch job killed
+    after half its lineage buckets and RESUMED must produce state
+    byte-identical to an uninterrupted run, with the estimate in bound;
+    the lineage table must cover every bucket exactly once."""
+    _ship(spark)
+    import shutil
+    import tempfile
+    import uuid
+
+    from stream_lib_spark.agg import SketchSpec, sketch_from_bytes
+    from stream_lib_spark.jobs.checkpoint import CheckpointedSketchJob
+
+    ev = _t(spark, sf_dir, "events")
+    p = 13
+    n_buckets = 16
+    work = os.path.join(tempfile.gettempdir(), f"ckpt_gate_{uuid.uuid4().hex}")
+    try:
+        def mk(snap):
+            return CheckpointedSketchJob(
+                spark=spark, spec=SketchSpec("hll", p=p), col="user_id",
+                n_buckets=n_buckets, checkpoint_dir=work, snapshot_id=snap,
+                bucket_cols=["event_id"])
+
+        # killed run: half the buckets, then a fresh job object resumes
+        killed = mk("snap-killed")
+        done_first = killed.build_partials(ev, max_buckets=n_buckets // 2)
+        resumed = mk("snap-killed").run(ev).collect()[0]
+        clean = mk("snap-clean").run(ev).collect()[0]
+
+        metrics = mk("snap-killed").metrics()
+        buckets_once = (metrics.groupBy("bucket").count()
+                        .where(F.col("count") > 1).count() == 0
+                        and metrics.select("bucket").distinct().count() == n_buckets)
+        exact = ev.select("user_id").distinct().count()
+        sk = sketch_from_bytes(bytes(resumed["sketch"]))
+        ok = abs(sk.cardinality() - exact) <= max(3.0 * 1.04 / math.sqrt(1 << p) * exact, 2.0)
+        return spark.createDataFrame(
+            [(exact,
+              bool(done_first == n_buckets // 2),
+              bool(bytes(resumed["sketch"]) == bytes(clean["sketch"])),
+              bool(buckets_once), bool(ok))],
+            "exact_users long, killed_half boolean, resumed_equals_clean boolean, "
+            "lineage_complete boolean, hll_ok boolean")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_multi_sketch_one_pass(spark, sf_dir):
     """multi_sketch_agg gate: ONE scan / ONE Arrow crossing builds an
     HLL (distinct users), a t-digest (value median) and a CMS
@@ -1312,6 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bottomk_overlap_users": q_bottomk_overlap_users,
         "tdigest_cdf_values": q_tdigest_cdf_values,
         "multi_sketch_one_pass": q_multi_sketch_one_pass,
+        "checkpoint_resume_parity": q_checkpoint_resume_parity,
         "streaming_sketch_parity": q_streaming_sketch_parity,
         "keyed_streaming_parity": q_keyed_streaming_parity,
         "windowed_streaming_parity": q_windowed_streaming_parity,
@@ -1471,6 +1520,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users, "
             "TRUE AS hll_ok, TRUE AS tdigest_ok, TRUE AS single_pass_bytes_equal "
             "FROM events"
+        ),
+        "checkpoint_resume_parity": (
+            "SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users, "
+            "TRUE AS killed_half, TRUE AS resumed_equals_clean, "
+            "TRUE AS lineage_complete, TRUE AS hll_ok FROM events"
         ),
         "tdigest_cdf_values": (
             "SELECT q, TRUE AS tdigest_cdf_ok, TRUE AS kll_rank_ok "
