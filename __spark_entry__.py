@@ -611,6 +611,22 @@ def q_cms_conservative_event_freq(spark, sf_dir):
     return spark.createDataFrame(rows, "event_type string, exact_cnt long, cons_ok boolean")
 
 
+def q_train_val_split(spark, sf_dir):
+    """Deterministic split gate with an EXACT oracle: the 90/5/5
+    train/val/test assignment is a pure function of (salt, doc_id) via
+    SQL-portable md5 arithmetic, so DuckDB reproduces every per-split
+    count exactly — reproducibility across engines, runs, and cluster
+    sizes is the property under test (a rand() split has none)."""
+    _ship(spark)
+    from stream_lib_spark.textops import deterministic_split
+
+    docs = _t(spark, sf_dir, "documents")
+    out = deterministic_split(docs, "doc_id",
+                              {"train": 0.9, "val": 0.05, "test": 0.05})
+    return (out.groupBy("split").agg(F.count("*").alias("n_docs"))
+            .orderBy("split"))
+
+
 def q_checkpoint_resume_parity(spark, sf_dir):
     """North-rule resumability gate: a checkpointed sketch job killed
     after half its lineage buckets and RESUMED must produce state
@@ -1361,6 +1377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_cdf_values": q_tdigest_cdf_values,
         "multi_sketch_one_pass": q_multi_sketch_one_pass,
         "checkpoint_resume_parity": q_checkpoint_resume_parity,
+        "train_val_split": q_train_val_split,
         "streaming_sketch_parity": q_streaming_sketch_parity,
         "keyed_streaming_parity": q_keyed_streaming_parity,
         "windowed_streaming_parity": q_windowed_streaming_parity,
@@ -1525,6 +1542,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users, "
             "TRUE AS killed_half, TRUE AS resumed_equals_clean, "
             "TRUE AS lineage_complete, TRUE AS hll_ok FROM events"
+        ),
+        "train_val_split": (
+            "SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs FROM ("
+            "  SELECT CASE WHEN u < 0.9 THEN 'train' WHEN u < 0.95 THEN 'val' "
+            "         ELSE 'test' END AS split FROM ("
+            "    SELECT CAST(('0x' || substring(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 8)) "
+            "           AS UBIGINT) / 4294967296.0 AS u FROM documents)) "
+            "GROUP BY split ORDER BY split"
         ),
         "tdigest_cdf_values": (
             "SELECT q, TRUE AS tdigest_cdf_ok, TRUE AS kll_rank_ok "

@@ -830,3 +830,42 @@ def repetition_stats(docs: DataFrame, n: int = 2,
         )
         .orderBy(id_col)
     )
+
+
+# ------------------------------------------------- deterministic splits
+
+def deterministic_split(df: DataFrame, id_col: str,
+                        fractions: dict[str, float],
+                        salt: str = "split-v1",
+                        col_name: str = "split") -> DataFrame:
+    """Stable train/val/test assignment: each row's split is a pure
+    function of (salt, id) — reproducible across runs, engines, cluster
+    sizes, and data order, and rows added later never reshuffle existing
+    assignments (the property a 100-TB training pipeline needs; a
+    ``rand()`` split has none of these).
+
+    Mechanism: bucket = first 8 md5 hex chars of ``salt || id`` as a
+    32-bit int / 2^32 ∈ [0, 1); cumulative fraction ranges pick the
+    split.  Pure JVM expressions (whole-stage codegen), no shuffle, no
+    UDF — and SQL-portable, so the gate's DuckDB oracle reproduces the
+    assignment EXACTLY (same md5 arithmetic).
+
+    ``fractions`` values must sum to 1 (validated).  Ordering of dict
+    entries defines the range layout; insertion order is part of the
+    contract (use the same dict everywhere).
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    u = (F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+                            1, 8), 16, 10).cast("double") / F.lit(float(1 << 32)))
+    expr = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = (expr.otherwise(F.lit(names[-1])) if expr is not None
+            else F.lit(names[-1]))
+    return df.withColumn(col_name, expr)

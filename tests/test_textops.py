@@ -283,3 +283,32 @@ def test_repetition_stats_flags_boilerplate(spark):
     assert out[1]["n_distinct"] == 1 and out[1]["top_gram_share"] == 1.0
     assert out[1]["dup_gram_frac"] == 0.8  # 5 slots, 1 distinct
     assert out[2]["dup_gram_frac"] == 0.0 and out[2]["top_gram_share"] < 0.1
+
+
+def test_deterministic_split_stability(spark):
+    """Assignment is a pure function of (salt, id): identical under
+    repartitioning, and adding rows never reshuffles existing ones;
+    fractions land within binomial noise."""
+    import pytest as _pytest
+
+    from stream_lib_spark.textops import deterministic_split
+
+    df = spark.range(20_000).select(F.col("id").alias("doc_id"))
+    fr = {"train": 0.9, "val": 0.05, "test": 0.05}
+    a = {r["doc_id"]: r["split"]
+         for r in deterministic_split(df, "doc_id", fr).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in deterministic_split(df.repartition(13), "doc_id", fr).collect()}
+    assert a == b
+    # growing the table preserves every existing assignment
+    grown = spark.range(40_000).select(F.col("id").alias("doc_id"))
+    c = {r["doc_id"]: r["split"]
+         for r in deterministic_split(grown, "doc_id", fr).collect()}
+    assert all(c[k] == v for k, v in a.items())
+    counts = {s: sum(1 for v in a.values() if v == s) for s in fr}
+    for name, f in fr.items():
+        # 5 sigma of Binomial(20000, f)
+        sd = (20_000 * f * (1 - f)) ** 0.5
+        assert abs(counts[name] - 20_000 * f) <= 5 * sd
+    with _pytest.raises(ValueError, match="sum to 1"):
+        deterministic_split(df, "doc_id", {"a": 0.5, "b": 0.4})
