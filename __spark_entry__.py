@@ -1547,7 +1547,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs FROM ("
             "  SELECT CASE WHEN u < 0.9 THEN 'train' WHEN u < 0.95 THEN 'val' "
             "         ELSE 'test' END AS split FROM ("
-            "    SELECT CAST(('0x' || substring(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 8)) "
+            "    SELECT CAST(('0x' || substring(md5('split-v1' || COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 8)) "
             "           AS UBIGINT) / 4294967296.0 AS u FROM documents)) "
             "GROUP BY split ORDER BY split"
         ),

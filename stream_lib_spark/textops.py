@@ -857,8 +857,11 @@ def deterministic_split(df: DataFrame, id_col: str,
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split fractions must sum to 1, got {total}")
-    u = (F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
-                            1, 8), 16, 10).cast("double") / F.lit(float(1 << 32)))
+    # null ids hash as the empty string: they get a deterministic split
+    # instead of silently falling through NULL comparisons to the last one
+    sid = F.coalesce(F.col(id_col).cast("string"), F.lit(""))
+    u = (F.conv(F.substring(F.md5(F.concat(F.lit(salt), sid)), 1, 8), 16, 10)
+         .cast("double") / F.lit(float(1 << 32)))
     expr = None
     acc = 0.0
     names = list(fractions)
