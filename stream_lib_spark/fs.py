@@ -10,11 +10,14 @@ differs by store:
   HadoopFS   any Hadoop-supported scheme (hdfs://, s3a://, gs://, ...)
              through the live JVM's FileSystem API.  Rename is NOT
              atomic on object stores, so ``publish`` instead relies on
-             the store's atomic single-object PUT (create without
-             overwrite) and then VERIFIES by reading the marker back —
-             the single-writer equivalent of Delta's S3 LogStore
-             put-if-absent protocol.  A torn/failed PUT is detected by
-             the verify and retried once via delete + rewrite.
+             the store's atomic single-object PUT and then VERIFIES by
+             reading the object back — sound under the single writer
+             Structured Streaming guarantees (one driver per query);
+             multi-writer coordination would additionally need
+             put-if-absent (a Delta-LogStore-style service), which this
+             store's contract deliberately does not require.  A
+             torn/failed PUT is detected by the verify and retried once
+             via delete + rewrite.
   FakeRemoteFS  test double with NO rename concept at all and optional
              torn-write injection, proving the store protocol never
              depends on atomic rename (tests/test_streaming.py).
