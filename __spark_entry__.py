@@ -627,6 +627,23 @@ def q_train_val_split(spark, sf_dir):
             .orderBy("split"))
 
 
+def q_stratified_split(spark, sf_dir):
+    """Per-language split quotas gate, EXACT oracle: 'de' holds out 20%
+    val, everything else 5% — same stable md5 bucket as the flat split,
+    cut points per stratum, so DuckDB reproduces every (lang, split)
+    count exactly."""
+    _ship(spark)
+    from stream_lib_spark.textops import stratified_split
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_split(
+        docs, "doc_id", "lang",
+        fractions_by_stratum={"de": {"train": 0.8, "val": 0.2}},
+        default_fractions={"train": 0.95, "val": 0.05})
+    return (out.groupBy("lang", "split").agg(F.count("*").alias("n_docs"))
+            .orderBy("lang", "split"))
+
+
 def q_checkpoint_resume_parity(spark, sf_dir):
     """North-rule resumability gate: a checkpointed sketch job killed
     after half its lineage buckets and RESUMED must produce state
@@ -1378,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_sketch_one_pass": q_multi_sketch_one_pass,
         "checkpoint_resume_parity": q_checkpoint_resume_parity,
         "train_val_split": q_train_val_split,
+        "stratified_split": q_stratified_split,
         "streaming_sketch_parity": q_streaming_sketch_parity,
         "keyed_streaming_parity": q_keyed_streaming_parity,
         "windowed_streaming_parity": q_windowed_streaming_parity,
@@ -1542,6 +1560,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users, "
             "TRUE AS killed_half, TRUE AS resumed_equals_clean, "
             "TRUE AS lineage_complete, TRUE AS hll_ok FROM events"
+        ),
+        "stratified_split": (
+            "SELECT lang, CASE WHEN lang = 'de' THEN "
+            "  (CASE WHEN u < 0.8 THEN 'train' ELSE 'val' END) ELSE "
+            "  (CASE WHEN u < 0.95 THEN 'train' ELSE 'val' END) END AS split, "
+            "CAST(COUNT(*) AS BIGINT) AS n_docs FROM ("
+            "  SELECT lang, CAST(('0x' || substring(md5('split-v1' || COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 8)) "
+            "         AS UBIGINT) / 4294967296.0 AS u FROM documents) "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "train_val_split": (
             "SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs FROM ("

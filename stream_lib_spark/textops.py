@@ -872,3 +872,43 @@ def deterministic_split(df: DataFrame, id_col: str,
     expr = (expr.otherwise(F.lit(names[-1])) if expr is not None
             else F.lit(names[-1]))
     return df.withColumn(col_name, expr)
+
+
+def stratified_split(df: DataFrame, id_col: str, strata_col: str,
+                     fractions_by_stratum: dict[str, dict[str, float]],
+                     default_fractions: dict[str, float],
+                     salt: str = "split-v1",
+                     col_name: str = "split") -> DataFrame:
+    """Per-stratum deterministic splitting (e.g. hold out 20% of 'de'
+    documents but 5% of 'en'): the SAME stable md5 bucket as
+    ``deterministic_split`` — so an id's position in [0,1) never changes
+    — with the cut points chosen per stratum.  Pure JVM CASE ladder,
+    engine-exact like the flat split.
+
+    Every fraction dict must sum to 1 and use the same split names in
+    the same order (validated) — otherwise a stratum could route a
+    bucket to a split another stratum doesn't define."""
+    names = list(default_fractions)
+    for strat, fr in list(fractions_by_stratum.items()) + [(None, default_fractions)]:
+        if list(fr) != names:
+            raise ValueError(f"stratum {strat!r}: split names/order must match {names}")
+        if abs(sum(fr.values()) - 1.0) > 1e-9:
+            raise ValueError(f"stratum {strat!r}: fractions must sum to 1")
+    sid = F.coalesce(F.col(id_col).cast("string"), F.lit(""))
+    u = (F.conv(F.substring(F.md5(F.concat(F.lit(salt), sid)), 1, 8), 16, 10)
+         .cast("double") / F.lit(float(1 << 32)))
+
+    def ladder(fr):
+        expr, acc = None, 0.0
+        for name in names[:-1]:
+            acc += fr[name]
+            cond = u < F.lit(acc)
+            expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        return expr.otherwise(F.lit(names[-1])) if expr is not None else F.lit(names[-1])
+
+    out = None
+    for strat, fr in fractions_by_stratum.items():
+        cond = F.col(strata_col) == F.lit(strat)
+        out = F.when(cond, ladder(fr)) if out is None else out.when(cond, ladder(fr))
+    out = out.otherwise(ladder(default_fractions)) if out is not None else ladder(default_fractions)
+    return df.withColumn(col_name, out)

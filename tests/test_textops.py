@@ -312,3 +312,36 @@ def test_deterministic_split_stability(spark):
         assert abs(counts[name] - 20_000 * f) <= 5 * sd
     with _pytest.raises(ValueError, match="sum to 1"):
         deterministic_split(df, "doc_id", {"a": 0.5, "b": 0.4})
+
+
+def test_stratified_split_consistency(spark):
+    """Per-stratum cuts share the flat split's stable bucket: a row's
+    u-position never changes, so a 'de' doc in val under the flat 5%
+    cut is also in val under the 20% cut (nested holdouts), and
+    mismatched split-name sets are rejected."""
+    import pytest as _pytest
+
+    from stream_lib_spark.textops import deterministic_split, stratified_split
+
+    df = spark.range(8_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "de").otherwise("en").alias("lang"))
+    flat = {r["doc_id"]: r["split"] for r in deterministic_split(
+        df, "doc_id", {"train": 0.95, "val": 0.05}).collect()}
+    strat = {r["doc_id"]: (r["lang"], r["split"]) for r in stratified_split(
+        df, "doc_id", "lang",
+        {"de": {"train": 0.8, "val": 0.2}},
+        {"train": 0.95, "val": 0.05}).collect()}
+    for k, (lang, s) in strat.items():
+        if lang == "en":
+            assert s == flat[k]  # default stratum identical to flat
+        elif flat[k] == "val":
+            assert s == "val"    # 5% holdout nests inside the 20% one
+    n_de = sum(1 for v in strat.values() if v[0] == "de")
+    n_de_val = sum(1 for v in strat.values() if v == ("de", "val"))
+    sd = (n_de * 0.2 * 0.8) ** 0.5
+    assert abs(n_de_val - 0.2 * n_de) <= 5 * sd
+    with _pytest.raises(ValueError, match="names/order"):
+        stratified_split(df, "doc_id", "lang",
+                         {"de": {"train": 0.8, "test": 0.2}},
+                         {"train": 0.95, "val": 0.05})
