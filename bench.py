@@ -191,13 +191,21 @@ def main():
         import subprocess
 
         here = os.path.dirname(os.path.abspath(__file__))
-        r = subprocess.run([sys.executable, os.path.join(here, script)],
-                           capture_output=True, text=True, timeout=1800)
+        # the subprocess call sits INSIDE the try: a hung section
+        # (TimeoutExpired) or spawn failure (OSError) degrades to an
+        # error record like any other section failure — it never kills
+        # the headline artifact
         try:
+            r = subprocess.run([sys.executable, os.path.join(here, script)],
+                               capture_output=True, text=True, timeout=1800)
             lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
             return json.loads(lines[-1])
+        except subprocess.TimeoutExpired:  # pragma: no cover
+            return {"error": f"section {script} timed out after 1800s"}
         except Exception:  # pragma: no cover
-            return {"error": f"rc={r.returncode}: {r.stderr[-250:]}"}
+            rc = getattr(locals().get("r"), "returncode", "spawn-failed")
+            err = getattr(locals().get("r"), "stderr", "") or ""
+            return {"error": f"rc={rc}: {err[-250:]}"}
 
     # dedup/ANN scale trend: 1x vs deterministic 10x; near-linear ratio
     # = no hidden quadratic term in the banded/bucketed joins

@@ -7,17 +7,24 @@ differs by store:
 
   LocalFS    POSIX rename is atomic: stage to ``<name>.tmp`` then
              ``os.replace`` (what rounds 1-3 hard-coded).
-  HadoopFS   any Hadoop-supported scheme (hdfs://, s3a://, gs://, ...)
-             through the live JVM's FileSystem API.  Rename is NOT
-             atomic on object stores, so ``publish`` instead relies on
-             the store's atomic single-object PUT and then VERIFIES by
-             reading the object back — sound under the single writer
-             Structured Streaming guarantees (one driver per query);
-             multi-writer coordination would additionally need
-             put-if-absent (a Delta-LogStore-style service), which this
-             store's contract deliberately does not require.  A
-             torn/failed PUT is detected by the verify and retried once
-             via delete + rewrite.
+  HadoopFS   any Hadoop-supported scheme through the live JVM's
+             FileSystem API, with a per-scheme commit mechanism:
+             rename-atomic filesystems (hdfs://, file://, viewfs://,
+             webhdfs://) stage to ``<name>.tmp`` — a suffix every
+             reader ignores (markers are listed by ``.json`` suffix,
+             data files only via committed markers) — then
+             ``FileSystem.rename``, so a concurrent reader can never
+             observe a half-written object under the final name.
+             Object stores (s3a://, gs://, abfs://, ...) have atomic
+             single-object PUT but NOT atomic rename, so ``publish``
+             there PUTs directly and VERIFIES by reading the object
+             back — sound under the single-writer Structured Streaming
+             guarantee (one driver per query); multi-writer
+             coordination would additionally need put-if-absent (a
+             Delta-LogStore-style service), which this store's
+             contract deliberately does not require.  A torn/failed
+             PUT (write raised, verify read raised, or content
+             mismatch) is retried once via delete + rewrite.
   FakeRemoteFS  test double with NO rename concept at all and optional
              torn-write injection, proving the store protocol never
              depends on atomic rename (tests/test_streaming.py).
@@ -65,12 +72,16 @@ class StateFS:
         for attempt in (0, 1):
             try:
                 self.write_bytes(path, data)
+                # the verify read can itself raise (PUT reported success
+                # but the object is missing/unreadable) — treat that
+                # exactly like a content mismatch: delete + retry once
+                ok = self.read_bytes(path) == data
             except Exception:
                 if attempt:
                     raise
                 self.delete(path)
                 continue
-            if self.read_bytes(path) == data:
+            if ok:
                 return
             self.delete(path)
         raise IOError(f"publish verify failed twice for {path}")
@@ -118,11 +129,18 @@ class LocalFS(StateFS):
         return os.path.join(*parts)
 
 
+#: Hadoop schemes whose ``FileSystem.rename`` is atomic (real
+#: filesystems, not object stores).  Everything else — s3a, gs, abfs,
+#: wasb, oss, cos, ... — takes the write-then-verify PUT path.
+_RENAME_ATOMIC_SCHEMES = frozenset({"hdfs", "file", "viewfs", "webhdfs", "har"})
+
+
 class HadoopFS(StateFS):
     """Hadoop FileSystem through the live Spark JVM — works for any
-    scheme the cluster's Hadoop conf supports (hdfs://, s3a://, ...).
-    ``publish`` uses the base-class write-then-verify protocol: object
-    stores have atomic PUT but not atomic rename."""
+    scheme the cluster's Hadoop conf supports.  ``publish`` is
+    per-scheme: rename-atomic filesystems (hdfs://, file://, ...) stage
+    to ``<name>.tmp`` then rename; object stores use the base-class
+    write-then-verify PUT protocol (atomic PUT, no atomic rename)."""
 
     def __init__(self, base_uri: str, spark=None):
         if spark is None:
@@ -134,6 +152,8 @@ class HadoopFS(StateFS):
         self._jvm = spark._jvm
         jpath = self._jvm.org.apache.hadoop.fs.Path(base_uri)
         self._fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        scheme = base_uri.split("://", 1)[0].lower() if "://" in base_uri else ""
+        self._rename_atomic = scheme in _RENAME_ATOMIC_SCHEMES
 
     def _p(self, path: str):
         return self._jvm.org.apache.hadoop.fs.Path(path)
@@ -166,6 +186,24 @@ class HadoopFS(StateFS):
 
     def delete(self, path: str) -> None:
         self._fs.delete(self._p(path), False)
+
+    def publish(self, path: str, data: bytes) -> None:
+        if not self._rename_atomic:
+            super().publish(path, data)  # object store: PUT + verify
+            return
+        # HDFS-family: create() makes the name visible immediately with
+        # partial content, so a direct PUT would let a reader pick a
+        # half-written marker as the latest committed version.  Stage
+        # under a ``.tmp`` suffix (invisible to versions(): markers are
+        # listed by ``.json`` suffix, data files only via committed
+        # markers) and rename — atomic on these schemes.
+        tmp = path + ".tmp"
+        self.write_bytes(tmp, data)
+        dst = self._p(path)
+        if self._fs.exists(dst):  # crash-retry leftover; single writer
+            self._fs.delete(dst, False)
+        if not self._fs.rename(self._p(tmp), dst):
+            raise IOError(f"atomic rename commit failed for {path}")
 
 
 class FakeRemoteFS(StateFS):

@@ -248,6 +248,33 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def ivf_candidate_count(corpus: DataFrame, queries: DataFrame,
+                        n_lists: int = 16, n_probe: int = 8,
+                        id_col: str = "vec_id", vec_col: str = "embedding") -> int:
+    """Deterministic WORK counter for ``ivf_topk``: the exact number of
+    corpus rows the probe join scans (``sum over (query, probed list)
+    of list size``, before the self-pair filter) — the same centroids,
+    assignment, and probe selection as ``ivf_topk``, but aggregated to
+    one number instead of joined.  At 10x corpus with the probed
+    fraction held at n_probe/n_lists this must grow ~10x; wall-clock
+    noise cannot touch it."""
+    cents = ivf_centroids(corpus, n_lists, id_col, vec_col)
+    sizes = (
+        ivf_assign(corpus, cents, vec_col)
+        .groupBy("list_id")
+        .agg(F.count("*").alias("list_size"))
+    )
+    probed = ivf_probe_lists(queries.select(id_col, vec_col), cents, n_probe, vec_col).select(
+        F.explode("probe_lists").alias("list_id")
+    )
+    row = (
+        probed.join(F.broadcast(sizes), "list_id")
+        .agg(F.sum("list_size").alias("scanned"))
+        .collect()[0]
+    )
+    return int(row["scanned"] or 0)
+
+
 def embedding_near_dup_pairs(corpus: DataFrame, dim: int, threshold: float = 0.9,
                              n_planes: int = 8, n_bands: int = 12, seed: int = 11,
                              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

@@ -46,6 +46,8 @@ from __future__ import annotations
 
 import struct
 
+import numpy as np
+
 from .cte_wire import (
     _BASE_HANDLE,
     _SC_SERIALIZABLE,
@@ -193,9 +195,21 @@ def to_reference_bytes(ss: ReferenceStreamSummary) -> bytes:
 
 def from_native(sk) -> ReferenceStreamSummary:
     """Our SpaceSaving summary -> reference wire state (ascending count,
-    key-ascending within ties for determinism)."""
+    key-ascending within ties for determinism).  Item TYPE is preserved:
+    a summary built over a numeric column exports boxed Integer/Long
+    items (the ``_ExtWriter`` boxed paths), so a JVM consumer offering
+    Integers against the import gets counter hits — stringifying here
+    would silently strand them as '123' strings."""
+
+    def _item(k):
+        if isinstance(k, bool):  # bool is an int subclass; not a wire type
+            return str(k)
+        if isinstance(k, (int, np.integer)):
+            return int(k)
+        return str(k)
+
     counters = sorted(
-        ((str(k), int(c), int(sk.errors.get(k, 0))) for k, c in sk.counts.items()),
-        key=lambda t: (t[1], t[0]),
+        ((_item(k), int(c), int(sk.errors.get(k, 0))) for k, c in sk.counts.items()),
+        key=lambda t: (t[1], str(t[0])),
     )
     return ReferenceStreamSummary(sk.capacity, counters)

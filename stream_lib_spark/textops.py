@@ -276,19 +276,15 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64, shingle: int = 5,
     return prepared.mapInPandas(gen, schema=schema)
 
 
-def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
-                      shingle: int = 5, threshold: float = 0.7,
-                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Near-duplicate pairs via banded LSH + exact signature-similarity
-    verify.  Scale path: candidate generation is a self-join on
-    (band_idx, band_hash) — co-hashed buckets, no cross product; Spark
-    shuffles only (doc, band) rows, never pairs outside shared buckets.
-    """
-    sigs = _materialize_once(minhash_signatures(docs, num_hashes, shingle, id_col, text_col))
+def _banded_keys(sigs: DataFrame, num_hashes: int, bands: int,
+                 id_col: str, with_signature: bool) -> DataFrame:
+    """Explode signatures to (id[, signature], band, bh) LSH band keys —
+    the single definition of the banding scheme, shared by the pair
+    joins AND the deterministic work counter so they can never drift."""
     rows_per_band = num_hashes // bands
-    banded = sigs.select(
-        id_col,
-        "signature",
+    cols = [id_col] + (["signature"] if with_signature else [])
+    return sigs.select(
+        *cols,
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -298,7 +294,19 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
                 ),
             )
         ).alias("bb"),
-    ).select(id_col, "signature", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    ).select(*cols, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
+                      shingle: int = 5, threshold: float = 0.7,
+                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Near-duplicate pairs via banded LSH + exact signature-similarity
+    verify.  Scale path: candidate generation is a self-join on
+    (band_idx, band_hash) — co-hashed buckets, no cross product; Spark
+    shuffles only (doc, band) rows, never pairs outside shared buckets.
+    """
+    sigs = _materialize_once(minhash_signatures(docs, num_hashes, shingle, id_col, text_col))
+    banded = _banded_keys(sigs, num_hashes, bands, id_col, with_signature=True)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b.hint("shuffle_hash"), ["band", "bh"])
@@ -323,6 +331,27 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
     )
 
 
+def minhash_candidate_count(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
+                            shingle: int = 5,
+                            id_col: str = "doc_id", text_col: str = "text") -> int:
+    """Deterministic WORK counter for the MinHash-LSH band join: the
+    exact number of within-bucket candidate pairs the self-join
+    generates (``sum over (band, bh) buckets of n*(n-1)/2``), computed
+    as one aggregation over the same ``_banded_keys`` projection the
+    pair join uses — no join executed.  This is the quantity whose
+    growth must be ~linear in corpus size for the no-hidden-quadratic
+    claim; unlike wall-clock it is immune to VM contention."""
+    sigs = minhash_signatures(docs, num_hashes, shingle, id_col, text_col)
+    banded = _banded_keys(sigs, num_hashes, bands, id_col, with_signature=False)
+    row = (
+        banded.groupBy("band", "bh")
+        .agg(F.count("*").alias("n"))
+        .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("pairs"))
+        .collect()[0]
+    )
+    return int(row["pairs"] or 0)
+
+
 def minhash_verified_pairs(docs: DataFrame, threshold: float = 0.9,
                            num_hashes: int = 64, bands: int = 32, shingle: int = 5,
                            id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -336,19 +365,7 @@ def minhash_verified_pairs(docs: DataFrame, threshold: float = 0.9,
     probability at similarity s is (1-s^r)^bands; at the defaults
     (r=2, 32 bands, s ≥ 0.9) it is < 1e-15."""
     sigs = _materialize_once(minhash_signatures(docs, num_hashes, shingle, id_col, text_col))
-    rows_per_band = num_hashes // bands
-    banded = sigs.select(
-        id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.slice("signature", b * rows_per_band + 1, rows_per_band)).alias("bh"),
-                ),
-            )
-        ).alias("bb"),
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    banded = _banded_keys(sigs, num_hashes, bands, id_col, with_signature=False)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b.hint("shuffle_hash"), ["band", "bh"])

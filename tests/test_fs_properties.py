@@ -35,3 +35,39 @@ def test_store_consistent_under_torn_puts(tears):
     for v in store.versions():
         got, bid = store.read(version=v)
         assert bid == v and got.cardinality() > 0
+
+
+class _VanishingReadFS(FakeRemoteFS):
+    """PUT reports success but the first verify read finds no object —
+    the eventual-consistency failure ADVICE flagged: publish must treat
+    a raising verify read like a content mismatch (delete + one retry),
+    not propagate."""
+
+    def __init__(self):
+        super().__init__()
+        self.vanish_next_read = False
+
+    def write_bytes(self, path, data):
+        super().write_bytes(path, data)
+        if self.vanish_next_read:
+            self.vanish_next_read = False
+            del self.objects[path]  # object "missing" at verify time
+
+
+def test_publish_retries_when_verify_read_raises():
+    fs = _VanishingReadFS()
+    fs.vanish_next_read = True
+    fs.publish("b/k", b"payload")
+    assert fs.objects["b/k"] == b"payload"
+    assert fs.publish_attempts == 2  # vanished PUT + verified rewrite
+
+
+def test_hadoop_scheme_classification():
+    """hdfs-family schemes commit via atomic rename; object stores via
+    PUT+verify.  Classification is pure string logic — no JVM needed."""
+    from stream_lib_spark.fs import _RENAME_ATOMIC_SCHEMES
+
+    for scheme in ("hdfs", "file", "viewfs", "webhdfs"):
+        assert scheme in _RENAME_ATOMIC_SCHEMES
+    for scheme in ("s3a", "s3", "gs", "abfs", "abfss", "wasb", "oss", "cos"):
+        assert scheme not in _RENAME_ATOMIC_SCHEMES

@@ -136,3 +136,28 @@ def test_ivf_topk_recall_and_determinism(spark, emb):
     full = ivf_topk(emb, queries, k=5, n_lists=8, n_probe=8).collect()
     for q in qids:
         assert [r["neighbor_id"] for r in full if r["query_id"] == q] == exact[q]
+
+
+def test_ivf_candidate_count_matches_join(spark, emb):
+    """The deterministic IVF work counter equals the row count of the
+    actual probe join (pre self-pair filter): same centroids, same
+    assignment, same probe selection."""
+    from pyspark.sql import functions as F
+
+    from stream_lib_spark.similarity import (
+        ivf_assign,
+        ivf_candidate_count,
+        ivf_centroids,
+        ivf_probe_lists,
+    )
+
+    queries = emb.where(F.col("vec_id") < 10)
+    n = ivf_candidate_count(emb, queries, n_lists=8, n_probe=3)
+    cents = ivf_centroids(emb, 8)
+    bucketed = ivf_assign(emb, cents).select(
+        F.col("vec_id").alias("neighbor_id"), "list_id")
+    probed = ivf_probe_lists(queries.select("vec_id", "embedding"), cents, 3).select(
+        F.col("vec_id").alias("query_id"), F.explode("probe_lists").alias("list_id"))
+    joined = bucketed.join(probed, "list_id").count()
+    assert n == joined
+    assert n > 0

@@ -139,3 +139,18 @@ def test_reference_reads_our_bytes(readback2):
     assert int(cap) == 6
     got = {r.rsplit(":", 2)[0]: tuple(map(int, r.rsplit(":", 2)[1:])) for r in rows}
     assert got == {str(k): (c, sk.errors.get(k, 0)) for k, c in sk.counts.items()}
+
+
+def test_from_native_preserves_int_items():
+    """A summary built over a NUMERIC column exports boxed Integer/Long
+    items (not '123' strings), so a JVM consumer offering Integers gets
+    counter hits; the wire round-trip returns them as ints."""
+    sk = SpaceSaving(8)
+    ids = np.array([101, 101, 102, 103, 103, 103, 1 << 40], dtype=object)
+    uniq, counts = np.unique(ids.astype(np.int64), return_counts=True)
+    sk.update_batch(uniq.astype(object), counts)  # numpy int64 items
+    ss = from_native(sk)
+    assert all(isinstance(i, int) for i, _, _ in ss.counters)
+    back = parse_reference_bytes(to_reference_bytes(ss))
+    assert back.counters == ss.counters  # ints survive the wire
+    assert {i for i, _, _ in back.counters} == {101, 102, 103, 1 << 40}

@@ -243,3 +243,9 @@ def test_state_store_via_hadoop_fs(spark, tmp_path):
     local = SketchStateStore(str(tmp_path / "state"))
     got2, bid2 = local.read()
     assert bid2 == 0 and got2.to_bytes() == sk.to_bytes()
+    # file:// is a rename-atomic scheme: commits go through staged
+    # .tmp + FileSystem.rename (never a visible half-written marker),
+    # and the staging name is cleaned up by the rename itself
+    assert store.fs._rename_atomic
+    leftovers = [f for f in store.fs.listdir(f"{base}/_versions") if f.endswith(".tmp")]
+    assert leftovers == []

@@ -345,3 +345,24 @@ def test_stratified_split_consistency(spark):
         stratified_split(df, "doc_id", "lang",
                          {"de": {"train": 0.8, "test": 0.2}},
                          {"train": 0.95, "val": 0.05})
+
+
+def test_minhash_candidate_count_matches_join(spark, docs):
+    """The deterministic work counter equals the candidate-pair count of
+    the ACTUAL band self-join (pre-dedup, id_a < id_b) — same banding
+    code path, so counter and join cannot drift."""
+    from pyspark.sql import functions as F
+
+    from stream_lib_spark.textops import _banded_keys, minhash_candidate_count, minhash_signatures
+
+    n = minhash_candidate_count(docs)
+    sigs = minhash_signatures(docs)
+    banded = _banded_keys(sigs, 64, 16, "doc_id", with_signature=False)
+    a, b = banded.alias("a"), banded.alias("b")
+    joined = (
+        a.join(b, ["band", "bh"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .count()
+    )
+    assert n == joined
+    assert n > 0  # the fixture plants near-dups, so buckets collide
