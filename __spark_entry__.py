@@ -679,6 +679,74 @@ def q_stratified_split(spark, sf_dir):
             .orderBy("lang", "split"))
 
 
+def q_cms_reference_family(spark, sf_dir):
+    """Reference-hash-family CMS build gate (round 5): the sketch is
+    built in Spark with the JVM's OWN hash family (mod-prime rows /
+    UTF-16 murmur2-32 double hashing, ``frequency/CountMinSketch.java:
+    166-175``, ``membership/Filter.java:69-87``), so its exported blob
+    is queryable by a JVM stream-lib deployment with exact parity
+    (ReadBack3-proven in tests/test_reference_family.py).  Here: every
+    event_type estimate must sit in [exact, exact + eps*N], and the
+    exported reference blob must re-import answering identically."""
+    _ship(spark)
+    from stream_lib_spark.agg import SketchSpec, collect_sketch, sketch_agg
+    from stream_lib_spark.sketches.cms_wire import ReferenceCMS
+    from stream_lib_spark.sketches.wire_export import to_reference_wire
+
+    ev = _t(spark, sf_dir, "events")
+    eps = 1e-4
+    spec = SketchSpec("cms", eps=eps, confidence=0.99, seed=7364181,
+                      hash_family="reference")
+    sk = collect_sketch(sketch_agg(ev, [], "event_type", spec))
+    exact = {r[0]: r[1] for r in ev.groupBy("event_type").count().collect()}
+    n = sum(exact.values())
+    keys = sorted(exact)
+    est = sk.estimate(keys)
+    jvm_blob = to_reference_wire("cms", sk.to_bytes())
+    re_est = ReferenceCMS.from_bytes(jvm_blob).estimate_string(keys)
+    rows = [
+        (k, int(exact[k]),
+         bool(exact[k] <= e <= exact[k] + max(eps * n, 1.0)),
+         bool(e == r))
+        for k, e, r in zip(keys, est, re_est)
+    ]
+    return spark.createDataFrame(
+        rows, "event_type string, exact_cnt long, cms_ok boolean, "
+              "export_parity boolean")
+
+
+def q_bloom_reference_family(spark, sf_dir):
+    """Reference-hash-family Bloom build gate (round 5): distributed
+    OR-merge build with BloomCalculations sizing; every present user
+    answers true, absent-probe false positives stay within 3x the
+    table fpp, and the exported JVM blob re-imports answering
+    identically (word array untrimmed, so the JVM's BitSet.size()
+    modulus equals the build modulus)."""
+    _ship(spark)
+    from stream_lib_spark.agg import SketchSpec, collect_sketch, sketch_agg
+    from stream_lib_spark.sketches.bloom_wire import ReferenceBloom
+    from stream_lib_spark.sketches.wire_export import to_reference_wire
+
+    ev = _t(spark, sf_dir, "events")
+    fpp = 0.01
+    exact_users = _exact_distinct(spark, sf_dir, "events", "user_id")
+    spec = SketchSpec("bloom", n_elements=max(exact_users, 100), fpp=fpp,
+                      hash_family="reference")
+    sk = collect_sketch(sketch_agg(ev, [], "user_id", spec))
+    present = [str(r["user_id"]) for r in ev.select("user_id").distinct().collect()]
+    absent = [f"absent-user-{i}" for i in range(2000)]
+    blob = to_reference_wire("bloom", sk.to_bytes())
+    back = ReferenceBloom.from_bytes(blob)
+    fp = int(back.is_present(absent).sum())
+    rows = [(exact_users,
+             bool(sk.might_contain(present).all()),
+             bool(back.is_present(present).all()),
+             bool(fp <= max(3.0 * fpp * len(absent), 5.0)))]
+    return spark.createDataFrame(
+        rows, "exact_users long, all_present boolean, "
+              "export_all_present boolean, fp_within_bound boolean")
+
+
 def q_checkpoint_resume_parity(spark, sf_dir):
     """North-rule resumability gate: a checkpointed sketch job killed
     after half its lineage buckets and RESUMED must produce state
@@ -1418,6 +1486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_classic_global": q_hll_classic_global,
         "hll_murmur_parity_global": q_hll_murmur_parity_global,
         "cms_event_freq": q_cms_event_freq,
+        "cms_reference_family": q_cms_reference_family,
+        "bloom_reference_family": q_bloom_reference_family,
         "tdigest_value_quantiles": q_tdigest_value_quantiles,
         "kll_price_quantiles": q_kll_price_quantiles,
         "qdigest_price_quantiles": q_qdigest_price_quantiles,
@@ -1553,6 +1623,16 @@ def oracle_sql() -> dict[str, str]:
         "cms_event_freq": (
             "SELECT event_type, COUNT(*) AS exact_cnt, TRUE AS cms_ok "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "cms_reference_family": (
+            "SELECT event_type, COUNT(*) AS exact_cnt, TRUE AS cms_ok, "
+            "TRUE AS export_parity "
+            "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "bloom_reference_family": (
+            "SELECT COUNT(DISTINCT user_id) AS exact_users, "
+            "TRUE AS all_present, TRUE AS export_all_present, "
+            "TRUE AS fp_within_bound FROM events"
         ),
         "tdigest_value_quantiles": (
             f"SELECT * FROM (VALUES {qs_rows}) AS t(q, within_bound)"

@@ -58,6 +58,12 @@ from .sketches.hll import HllPlusPlus
 from .sketches.kll import KLL
 from .sketches.linear import LinearCounting, LogLog
 from .sketches.qdigest import KIND_QDIGEST, QDigest
+from .sketches.reference_family import (
+    KIND_BLOOM_REF,
+    KIND_CMS_REF,
+    ReferenceFamilyBloom,
+    ReferenceFamilyCMS,
+)
 from .sketches.spacesaving import SpaceSaving
 from .sketches.tdigest import TDigest
 
@@ -75,6 +81,8 @@ _KIND_TO_CLS = {
     KIND_CTE: CountThenEstimate,
     KIND_BOTTOMK: BottomKSample,
     KIND_QDIGEST: QDigest,
+    KIND_CMS_REF: ReferenceFamilyCMS,
+    KIND_BLOOM_REF: ReferenceFamilyBloom,
 }
 
 
@@ -113,16 +121,44 @@ class SketchSpec:
             raise ValueError(f"unknown sketch kind {kind!r}")
         self.kind = kind
         self.params = params
+        if params.get("hash_family", None) not in (None, "reference"):
+            raise ValueError("hash_family must be 'reference' (or omitted)")
+        if self.reference_family and kind not in ("cms", "bloom"):
+            raise ValueError(f"hash_family='reference' unsupported for {kind!r}")
+
+    @property
+    def reference_family(self) -> bool:
+        """True = build with the JVM stream-lib hash family (CMS/Bloom
+        only) so the state is reference-wire exportable AND JVM-
+        queryable; items flow RAW (string or long), never pre-hashed."""
+        return self.params.get("hash_family") == "reference"
 
     @property
     def input_mode(self) -> str:
+        if self.reference_family:
+            return "ivalue" if self.params.get("item_type") == "long" else "item"
         return self._FACTORIES[self.kind][1]
 
     def new(self):
+        if self.reference_family:
+            from .sketches.reference_family import ReferenceFamilyBloom, ReferenceFamilyCMS
+
+            p = {k: v for k, v in self.params.items() if k != "hash_family"}
+            return (ReferenceFamilyCMS(**p) if self.kind == "cms"
+                    else ReferenceFamilyBloom(**p))
         return self._FACTORIES[self.kind][0](self.params)
 
     def update(self, sk, arr: np.ndarray, counts: np.ndarray | None = None):
         mode = self.input_mode
+        if self.reference_family:
+            if counts is None:
+                if mode == "ivalue":
+                    arr, counts = np.unique(arr.astype(np.int64, copy=False),
+                                            return_counts=True)
+                else:
+                    counts = np.ones(len(arr), dtype=np.int64)
+            sk.update_batch(arr, counts)
+            return sk
         if mode == "hash":
             sk.update_hashed(arr) if self.kind != "bloom" else sk.add_hashed(arr)
         elif mode == "value":

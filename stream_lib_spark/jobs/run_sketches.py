@@ -15,9 +15,13 @@ Usage (sandbox / cluster — identical):
         [--wire-format reference]
 
 ``--wire-format reference`` writes the sketch columns as JVM stream-lib
-wire bytes (hll / tdigest / qdigest / topk — the kinds with a sound
-reference export, see ``sketches/wire_export.py``), so a JVM consumer
-deserializes job outputs with stream-lib directly.
+wire bytes, so a JVM consumer deserializes job outputs with stream-lib
+directly.  hll / tdigest / qdigest / topk export their native state;
+cms and bloom are automatically BUILT in the reference's own hash
+family (``hash_family=reference`` — the JVM re-hashes probes at query
+time, so export soundness is a build-time property; add
+``item_type=long`` to a cms op for ``add(long)``-family parity on
+numeric columns).  See ``sketches/wire_export.py``.
 
 With ``--checkpoint-dir`` the job runs through the resumable lineage
 path (jobs/checkpoint.py): re-running after a kill resumes from the
@@ -72,11 +76,24 @@ def main(argv=None):
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
-    from ..agg import multi_sketch_agg, sketch_agg
+    from ..agg import SketchSpec, multi_sketch_agg, sketch_agg
     from .session import get_spark
     from .checkpoint import CheckpointedSketchJob
 
     from pyspark.sql import SparkSession
+
+    ops = list(map(parse_op, args.ops))
+    if args.wire_format == "reference":
+        # export soundness for cms/bloom is a BUILD-time property: the
+        # JVM re-hashes probes with its own family at query time, so
+        # switch those builds to the reference hash family up front
+        ops = [
+            (name, col,
+             SketchSpec(spec.kind, **{**spec.params, "hash_family": "reference"})
+             if spec.kind in ("cms", "bloom") and not spec.reference_family
+             else spec)
+            for name, col, spec in ops
+        ]
 
     # only stop a session this job created — getOrCreate() returns any
     # live session (e.g. a host application invoking main() in-process)
@@ -94,7 +111,7 @@ def main(argv=None):
     if args.checkpoint_dir:
         # resumable path: one checkpointed job per op (lineage + metrics)
         outs = []
-        for name, col, spec in map(parse_op, args.ops):
+        for name, col, spec in ops:
             job = CheckpointedSketchJob(
                 spark=spark, spec=spec, col=col, keys=args.keys,
                 checkpoint_dir=args.checkpoint_dir,
@@ -108,7 +125,7 @@ def main(argv=None):
             result = result.join(o, args.keys) if args.keys else result.crossJoin(o.drop("rows_seen"))
     else:
         sketches = {}
-        for name, col, spec in map(parse_op, args.ops):
+        for name, col, spec in ops:
             sketches[name] = (col, spec)
         result = multi_sketch_agg(df, sketches, keys=args.keys, hash_mode=args.hash_mode)
 
@@ -117,7 +134,6 @@ def main(argv=None):
 
         from ..sketches.wire_export import EXPORTABLE, reference_wire_udf
 
-        ops = list(map(parse_op, args.ops))
         bad = [name for name, _c, spec in ops if spec.kind not in EXPORTABLE]
         if bad:
             ap.error(f"--wire-format reference: no sound export for {bad} "

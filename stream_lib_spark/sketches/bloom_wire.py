@@ -46,10 +46,85 @@ _BITSET_PREFIX = bytes.fromhex(
 _BITSET_SUFFIX = b"\x78"  # TC_ENDBLOCKDATA (BitSet has writeObject)
 
 
+# --- BloomCalculations replica (membership/BloomCalculations.java) ---
+# The reference's probs[b][k] table is (1 - e^{-k/b})^k rounded to 3
+# significant figures — verified cell-by-cell against the source, with
+# ONE exception: probs[5][3] is 0.092 there (rounded to 3 decimals, not
+# 3 significant figures).  We reproduce the table including that quirk
+# so computeBucketsAndK picks identical (K, bucketsPerElement) at every
+# fpp, which the javac golden sweep in tests/test_bloom_wire.py pins.
+_OPT_K_PER_BUCKETS = [1, 1, 1, 2, 3, 3, 4, 5, 5, 6, 7, 8, 8, 9, 10, 10,
+                      11, 12, 12, 13, 14]
+_MIN_BUCKETS, _MAX_BUCKETS, _MIN_K, _MAX_K = 2, 15, 1, 8
+
+
+def _sig3(x: float) -> float:
+    import math
+
+    return round(x, 2 - int(math.floor(math.log10(abs(x))))) if x else 0.0
+
+
+def _prob(b: int, k: int) -> float:
+    import math
+
+    if k == 0:
+        return 1.0
+    if (b, k) == (5, 3):
+        return 0.092  # the reference's one 3-decimal rounding
+    return _sig3((1.0 - math.exp(-k / b)) ** k)
+
+
+def compute_best_k(buckets_per_element: int) -> int:
+    if buckets_per_element >= len(_OPT_K_PER_BUCKETS):
+        return _OPT_K_PER_BUCKETS[-1]
+    return _OPT_K_PER_BUCKETS[buckets_per_element]
+
+
+def compute_buckets_and_k(max_fpp: float) -> tuple[int, int]:
+    """(K, bucketsPerElement) — BloomCalculations.computeBucketsAndK,
+    including the reference's SWAPPED constructor arguments in the
+    loose-fpp trivial case (``new BloomSpecification(2,
+    optKPerBuckets[2])`` passes 2 as K and 1 as bucketsPerElement —
+    pinned by the Golden11 javac sweep in bloom_calc_golden.csv)."""
+    if max_fpp >= _prob(_MIN_BUCKETS, _MIN_K):
+        return 2, _OPT_K_PER_BUCKETS[2]
+    if max_fpp < _prob(_MAX_BUCKETS, _MAX_K):
+        return _MAX_K, _MAX_BUCKETS
+    bpe = 2
+    k = _OPT_K_PER_BUCKETS[2]
+    while _prob(bpe, k) > max_fpp:
+        bpe += 1
+        k = _OPT_K_PER_BUCKETS[bpe]
+    while _prob(bpe, k - 1) <= max_fpp:
+        k -= 1
+    return k, bpe
+
+
 class ReferenceBloom:
     def __init__(self, hash_count: int, words: np.ndarray):
         self.hash_count = hash_count
         self.words = words.astype(np.int64)  # big-endian longs as signed ints
+
+    @classmethod
+    def create(cls, num_elements: int, buckets_per_element: int | None = None,
+               fpp: float | None = None) -> "ReferenceBloom":
+        """Build an EMPTY reference-family filter exactly as the JVM
+        constructors would (``BloomFilter.java:37-46``): hashCount from
+        BloomCalculations, BitSet sized ``numElements*bpe + 20`` bits →
+        ``ceil(nbits/64)`` words.  ``to_bytes`` writes the word array
+        UNTRIMMED, so the deserialized JVM filter keeps the same
+        ``BitSet.size()`` modulus and answers every key identically
+        (the reference's own serialize TRIMS trailing zero words, which
+        can change the modulus — our export avoids that asymmetry)."""
+        if buckets_per_element is None:
+            if fpp is None:
+                raise ValueError("need buckets_per_element or fpp")
+            hash_count, buckets_per_element = compute_buckets_and_k(fpp)
+        else:
+            hash_count = compute_best_k(buckets_per_element)
+        n_bits = num_elements * buckets_per_element + 20
+        n_words = (max(n_bits, 1) + 63) >> 6
+        return cls(hash_count, np.zeros(n_words, dtype=np.int64))
 
     @property
     def n_bits(self) -> int:

@@ -107,10 +107,39 @@ def long_hash_buckets(items: np.ndarray, hash_a: np.ndarray, width: int) -> np.n
         return (h % np.int64(width)).astype(np.int64)
 
 
+class _JavaRandom:
+    """Bit-exact replica of ``java.util.Random`` (the 48-bit LCG the
+    JDK documents publicly), needed to reproduce the reference's
+    seeded hashA row coefficients (``CountMinSketch.java:143-156``:
+    ``hashA[i] = new Random(seed).nextInt(Integer.MAX_VALUE)``)."""
+
+    _MULT = 0x5DEECE66D
+    _MASK = (1 << 48) - 1
+
+    def __init__(self, seed: int):
+        self._s = (seed ^ self._MULT) & self._MASK
+
+    def _next(self, bits: int) -> int:
+        self._s = (self._s * self._MULT + 0xB) & self._MASK
+        return self._s >> (48 - bits)
+
+    def next_int_max(self) -> int:
+        """nextInt(Integer.MAX_VALUE): bound 2^31-1 is not a power of
+        two, so the JDK rejects the single value (2^31-1) that would
+        bias the modulus and retries."""
+        while True:
+            u = self._next(31)
+            if u != (1 << 31) - 1:
+                return u
+
+
 class ReferenceCMS:
     """A reference-format CMS: parse, query (exact parity), merge, and
     re-serialize.  Also supports adding new items with the reference's
-    own hash family, so migrated state can keep absorbing data."""
+    own hash family, so migrated state can keep absorbing data —
+    and, via ``create``, BUILDING a sketch from scratch whose blob a
+    JVM stream-lib deployment queries with exact parity (the export
+    direction; golden-tested in tests/test_cms_wire.py)."""
 
     def __init__(self, depth: int, width: int, hash_a: np.ndarray,
                  table: np.ndarray, size: int = 0):
@@ -118,6 +147,27 @@ class ReferenceCMS:
         self.hash_a = hash_a.astype(np.int64)
         self.table = table.astype(np.int64)
         self.size = size
+
+    @classmethod
+    def create(cls, depth: int | None = None, width: int | None = None,
+               seed: int = 1, eps: float | None = None,
+               confidence: float | None = None) -> "ReferenceCMS":
+        """Build an EMPTY reference-family CMS from scratch, exactly as
+        the JVM constructors would: either (depth, width, seed)
+        (``CountMinSketch.java:51-57``) or (eps, confidence, seed) with
+        ``width = ceil(2/eps)``, ``depth = ceil(-log2(1-confidence))``
+        (``CountMinSketch.java:59-67``); hashA rows come from the
+        seeded java.util.Random."""
+        import math
+
+        if depth is None or width is None:
+            if eps is None or confidence is None:
+                raise ValueError("need (depth, width) or (eps, confidence)")
+            width = int(math.ceil(2.0 / eps))
+            depth = int(math.ceil(-math.log(1.0 - confidence) / math.log(2.0)))
+        r = _JavaRandom(seed)
+        hash_a = np.array([r.next_int_max() for _ in range(depth)], dtype=np.int64)
+        return cls(depth, width, hash_a, np.zeros((depth, width), dtype=np.int64))
 
     # ---------------------------------------------------------------- query
 

@@ -13,10 +13,14 @@ Which kinds are exportable is a semantic question, not a format one:
   qdigest      sound — tree nodes store value ranges.
   spacesaving  sound — counters store the ITEMS explicitly
                (``spacesaving_wire``: Externalizable JOS stream).
-  cms, bloom   NOT exportable: the JVM probes by re-hashing the query
-               item with ITS hash family at query time — a table/bitset
-               built with our xxhash64 update path would answer
-               garbage.  (Their ``*_wire`` codecs still round-trip
+  cms, bloom   exportable IFF built in the reference hash family
+               (``SketchSpec(..., hash_family='reference')`` →
+               ``reference_family.py``): the JVM probes by re-hashing
+               the query item with ITS hash family at query time, so a
+               table/bitset built with our xxhash64 update path would
+               answer garbage — the export path detects the blob kind
+               and refuses native-family state with a pointer to the
+               build mode.  (Their ``*_wire`` codecs also round-trip
                REFERENCE-built blobs for import/query/merge.)
   kll, bottomk no reference counterpart format.
   countthenestimate  untipped native state holds item HASHES, not the
@@ -28,7 +32,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-EXPORTABLE = ("hll", "tdigest", "qdigest", "spacesaving")
+EXPORTABLE = ("hll", "tdigest", "qdigest", "spacesaving", "cms", "bloom")
 
 
 def reference_wire_udf(kind: str):
@@ -65,6 +69,26 @@ def to_reference_wire(kind: str, blob: bytes) -> bytes:
         from .spacesaving_wire import from_native, to_reference_bytes
 
         return to_reference_bytes(from_native(SpaceSaving.from_bytes(blob)))
+    if kind in ("cms", "bloom"):
+        from .base import unpack_header
+        from .reference_family import (
+            KIND_BLOOM_REF,
+            KIND_CMS_REF,
+            ReferenceFamilyBloom,
+            ReferenceFamilyCMS,
+        )
+
+        _, blob_kind = unpack_header(blob)
+        if blob_kind == KIND_CMS_REF:
+            return ReferenceFamilyCMS.from_bytes(blob).to_reference_bytes()
+        if blob_kind == KIND_BLOOM_REF:
+            return ReferenceFamilyBloom.from_bytes(blob).to_reference_bytes()
+        raise ValueError(
+            f"this {kind} state was built with the native hash family — the "
+            f"JVM re-hashes probes with ITS family at query time, so the "
+            f"export would answer garbage; rebuild with "
+            f"SketchSpec({kind!r}, ..., hash_family='reference')"
+        )
     raise ValueError(
         f"sketch kind {kind!r} has no sound reference export "
         f"(exportable: {', '.join(EXPORTABLE)}) — see wire_export.py for why"

@@ -96,11 +96,39 @@ def test_cli_wire_format_reference(spark, tmp_path):
     assert reference_quantile(qd_r, 0.5) == qd_n.quantile(0.5)
 
 
+def test_cli_wire_format_cms_bloom(spark, tmp_path):
+    """--wire-format reference on cms/bloom ops (refused before round
+    5): the CLI auto-switches the BUILD to the reference hash family,
+    and the output blobs deserialize as JVM CountMinSketch/BloomFilter
+    state answering probes with exact parity."""
+    from stream_lib_spark.jobs.run_sketches import main
+    from stream_lib_spark.sketches.bloom_wire import ReferenceBloom
+    from stream_lib_spark.sketches.cms_wire import ReferenceCMS
+
+    out = tmp_path / "ref_cms_bloom"
+    main(["--input", f"{SF}/events.parquet",
+          "--ops", "cms:event_type:eps=1e-3,confidence=0.99,seed=7364181",
+          "bloom:user_id:n_elements=2000,fpp=0.01",
+          "--output", str(out), "--cpus", "4",
+          "--wire-format", "reference"])
+    row = spark.read.parquet(str(out)).collect()[0]
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    exact = {r["event_type"]: r["count"]
+             for r in ev.groupBy("event_type").count().collect()}
+    cms = ReferenceCMS.from_bytes(bytes(row["cms_event_type"]))
+    keys = sorted(exact)
+    for k, e in zip(keys, cms.estimate_string(keys)):
+        assert exact[k] <= e <= exact[k] + max(1e-3 * cms.size, 1)
+    bl = ReferenceBloom.from_bytes(bytes(row["bloom_user_id"]))
+    ids = [str(r["user_id"]) for r in ev.select("user_id").distinct().collect()]
+    assert bl.is_present(ids).all()
+
+
 def test_cli_wire_format_rejects_unsound_kinds(tmp_path):
     from stream_lib_spark.jobs.run_sketches import main
 
     with pytest.raises(SystemExit):
         main(["--input", f"{SF}/events.parquet",
-              "--ops", "cms:event_type:eps=1e-3,confidence=0.99",
+              "--ops", "kll:value:k=200",
               "--output", str(tmp_path / "x"), "--cpus", "4",
               "--wire-format", "reference"])

@@ -85,7 +85,16 @@ def test_export_import_roundtrip_answers():
 
 
 def test_unsound_kinds_refused():
-    for kind in ("cms", "bloom", "kll", "bottomk"):
+    for kind in ("kll", "bottomk"):
         with pytest.raises(ValueError, match="no sound reference export"):
             to_reference_wire(kind, b"")
-    assert set(EXPORTABLE) == {"hll", "tdigest", "qdigest", "spacesaving"}
+    # cms/bloom are exportable since round 5 — but only for state BUILT
+    # in the reference hash family; native-family blobs still refuse
+    from stream_lib_spark.sketches.bloom import BloomFilter
+    from stream_lib_spark.sketches.cms import CountMinSketch
+
+    for kind, blob in (("cms", CountMinSketch.from_accuracy(eps=0.01, confidence=0.9).to_bytes()),
+                       ("bloom", BloomFilter.for_capacity(100, 0.01).to_bytes())):
+        with pytest.raises(ValueError, match="native hash family"):
+            to_reference_wire(kind, blob)
+    assert set(EXPORTABLE) == {"hll", "tdigest", "qdigest", "spacesaving", "cms", "bloom"}
