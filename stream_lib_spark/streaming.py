@@ -103,14 +103,19 @@ class SketchStateStore:
 
 def streaming_sketch_query(stream_df: DataFrame, col: str, spec: SketchSpec,
                            state_dir: str, checkpoint_dir: str,
-                           trigger_available_now: bool = True, fs=None):
+                           trigger_available_now: bool = True,
+                           processing_time: str | None = None, fs=None):
     """Fold a streaming DataFrame's column into a persisted sketch.
 
     Each micro-batch: batch-mode two-level sketch_agg (partition
     partials → merge) → monoid-merge into the stored state.  Restart
     safety: batches with id <= stored batch_id are no-ops.
     ``fs``: explicit StateFS (default: resolved from state_dir scheme).
-    """
+    Trigger: availableNow replay by default; pass
+    ``processing_time='1 seconds'`` (with ``trigger_available_now=
+    False``) for a LIVE continuous micro-batch cadence — the versioned
+    store commits one version per fired batch under either trigger
+    (tests/test_streaming.py exercises both)."""
     store = SketchStateStore(state_dir, fs=fs)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
@@ -127,6 +132,8 @@ def streaming_sketch_query(stream_df: DataFrame, col: str, spec: SketchSpec,
     )
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
+    elif processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
     return writer.start()
 
 

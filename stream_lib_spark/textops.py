@@ -17,7 +17,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame, Observation, functions as F, types as T
 
 from .hashing import splitmix64
 
@@ -580,11 +580,15 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     growth so the plan stays constant-size across iterations.
     Deterministic: min is order-insensitive.
 
-    Driver actions are throttled: the convergence check (a count job)
-    runs only every ``check_every`` rounds — labels update by a monotone
-    min, so overshooting convergence by up to ``check_every - 1`` rounds
-    is idempotent and the result is identical, while the driver-blocking
-    job count drops by ~2x (asserted in tests/test_textops.py)."""
+    ZERO extra driver actions per round (round 5): the changed-label
+    count rides the round's own materialization job as an observed
+    metric (``DataFrame.observe`` + the ``localCheckpoint`` action), so
+    convergence is checked EVERY round for free — no separate count
+    jobs at all (listener-asserted in tests/test_textops.py).  If the
+    observed metric is unavailable (defensive; e.g. an action path that
+    skips the execution listener), a fallback count job runs every
+    ``check_every`` rounds — labels update by a monotone min, so
+    overshooting convergence is idempotent."""
     edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -610,18 +614,27 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         # pointer halving: hop once more through the label graph
         # (labels are node ids, so lbl-of-lbl is a plain self-join)
         lblmap = labels.select(F.col("node").alias("mnode"), F.col("lbl").alias("mlbl"))
+        obs = Observation(f"cc_round_{it}")
         updated = (
             hopped.join(lblmap, hopped["l1"] == lblmap["mnode"], "left")
             .select(
                 "node", "lbl",
                 F.least(F.col("l1"), F.coalesce("mlbl", F.col("l1"))).alias("new_lbl"),
             )
-        ).localCheckpoint()
-        if (it + 1) % check_every == 0 or it == max_iters - 1:
-            if updated.where(F.col("new_lbl") < F.col("lbl")).count() == 0:
-                labels = updated.select("node", F.col("new_lbl").alias("lbl"))
-                break
+            .observe(obs, F.coalesce(
+                F.sum((F.col("new_lbl") < F.col("lbl")).cast("long")),
+                F.lit(0)).alias("changed"))
+            .localCheckpoint()
+        )
+        changed = None
+        try:
+            changed = obs.get.get("changed")
+        except Exception:  # pragma: no cover — defensive fallback
+            if (it + 1) % check_every == 0 or it == max_iters - 1:
+                changed = updated.where(F.col("new_lbl") < F.col("lbl")).count()
         labels = updated.select("node", F.col("new_lbl").alias("lbl"))
+        if changed == 0:
+            break
     else:
         raise RuntimeError(
             f"near_dup_clusters did not converge in {max_iters} iterations "
