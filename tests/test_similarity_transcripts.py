@@ -161,3 +161,57 @@ def test_ivf_candidate_count_matches_join(spark, emb):
     joined = bucketed.join(probed, "list_id").count()
     assert n == joined
     assert n > 0
+
+
+def _clustered_corpus(spark, n_clusters=8, per=150, dim=16, sigma=0.25, seed=7):
+    """Deterministic planted-Gaussian-cluster embeddings (RandomState is
+    frozen by numpy's compatibility guarantee): well-separated centers,
+    tight clusters — the shape real embedding corpora have and the
+    bottom-k random quantizer is weakest on."""
+    rs = np.random.RandomState(seed)
+    centers = rs.normal(size=(n_clusters, dim)) * 5.0
+    pts = np.concatenate([
+        centers[c] + rs.normal(size=(per, dim)) * sigma for c in range(n_clusters)
+    ])
+    rows = [(int(i), [float(x) for x in pts[i]]) for i in range(len(pts))]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _recall(spark, approx, truth):
+    t = {}
+    for r in truth.collect():
+        t.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    a = {}
+    for r in approx.collect():
+        a.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(t[q] & a.get(q, set())) for q in t)
+    return hits / sum(len(v) for v in t.values())
+
+
+def test_ivf_refined_recall_on_clustered_corpus(spark):
+    """On a clustered corpus at n_probe << n_lists, k-means-refined
+    lists must reach high recall (>= 0.9) and at least match the
+    random-sample quantizer; refined centroids are byte-deterministic
+    under repartitioning (fixed-point int64 partial sums)."""
+    from stream_lib_spark.similarity import (
+        brute_force_topk,
+        ivf_centroids_refined,
+        ivf_topk,
+    )
+
+    corpus = _clustered_corpus(spark)
+    q_rows = corpus.where(F.col("vec_id") % 150 < 4).collect()  # 4 per cluster
+    queries = spark.createDataFrame(q_rows, corpus.schema)
+    truth = brute_force_topk(corpus, [(r["vec_id"], list(r["embedding"])) for r in q_rows], k=5)
+
+    refined = ivf_topk(corpus, queries, k=5, n_lists=16, n_probe=2,
+                       refine_iters=2, dim=16)
+    random_q = ivf_topk(corpus, queries, k=5, n_lists=16, n_probe=2)
+    r_refined = _recall(spark, refined, truth)
+    r_random = _recall(spark, random_q, truth)
+    assert r_refined >= 0.9, (r_refined, r_random)
+    assert r_refined >= r_random - 1e-9, (r_refined, r_random)
+
+    c1 = ivf_centroids_refined(corpus.repartition(3), 16, 16, refine_iters=2)
+    c2 = ivf_centroids_refined(corpus.repartition(11), 16, 16, refine_iters=2)
+    assert c1.tobytes() == c2.tobytes()
