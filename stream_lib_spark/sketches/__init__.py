@@ -27,3 +27,8 @@ __all__ = [
 from .wire_export import EXPORTABLE, from_reference_wire, to_reference_wire  # noqa: E402
 
 __all__ += ["EXPORTABLE", "from_reference_wire", "to_reference_wire"]
+
+# reference-hash-family BUILD mode (JVM-queryable CMS/Bloom state)
+from .reference_family import ReferenceFamilyBloom, ReferenceFamilyCMS  # noqa: E402
+
+__all__ += ["ReferenceFamilyBloom", "ReferenceFamilyCMS"]
