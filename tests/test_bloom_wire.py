@@ -48,3 +48,27 @@ def test_add_and_merge_reference_family():
     b = ReferenceBloom(bf.hash_count, empty_words.copy()).add([f"k{i}" for i in range(1, 100, 2)])
     whole = ReferenceBloom(bf.hash_count, empty_words.copy()).add([f"k{i}" for i in range(100)])
     assert a.merge(b).to_bytes() == whole.to_bytes()
+
+
+def test_reference_binary_golden_encoded_random_keys():
+    """The reference's own shipped binary golden
+    (src/test/resources/.../encoded_random_keys.bloom, exercised by its
+    Base64Test): our importer must deserialize the 1.7 MB base64 blob
+    and answer the exact membership probes that test asserts."""
+    import base64
+    import os
+
+    path = ("/root/reference/src/test/resources/com/clearspring/analytics/"
+            "stream/membership/encoded_random_keys.bloom")
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("reference test resource not available")
+    blob = base64.b64decode(open(path, "rb").read())
+    bf = ReferenceBloom.from_bytes(blob)
+    present = ["4a7137513e61adbb", "4ba145c986af5848", "4b8c73a241c9d017",
+               "4bafd549baae6a0c", "4b98ed851c5fc689", "4bbead53d3600f7c",
+               "4bc21f2d4a4a8941", "4b991b45226abc99"]
+    absent = ["blurg", "bowzer", "4b991b45226abc90"]
+    assert bf.is_present(present).all()
+    assert not bf.is_present(absent).any()
