@@ -59,10 +59,16 @@ from .sketches.kll import KLL
 from .sketches.linear import LinearCounting, LogLog
 from .sketches.qdigest import KIND_QDIGEST, QDigest
 from .sketches.reference_family import (
+    KIND_ALC_REF,
     KIND_BLOOM_REF,
     KIND_CMS_REF,
+    KIND_LC_REF,
+    KIND_LOGLOG_REF,
+    ReferenceFamilyAdaptiveCounting,
     ReferenceFamilyBloom,
     ReferenceFamilyCMS,
+    ReferenceFamilyLC,
+    ReferenceFamilyLogLog,
 )
 from .sketches.spacesaving import SpaceSaving
 from .sketches.tdigest import TDigest
@@ -83,6 +89,9 @@ _KIND_TO_CLS = {
     KIND_QDIGEST: QDigest,
     KIND_CMS_REF: ReferenceFamilyCMS,
     KIND_BLOOM_REF: ReferenceFamilyBloom,
+    KIND_LC_REF: ReferenceFamilyLC,
+    KIND_LOGLOG_REF: ReferenceFamilyLogLog,
+    KIND_ALC_REF: ReferenceFamilyAdaptiveCounting,
 }
 
 
@@ -123,14 +132,18 @@ class SketchSpec:
         self.params = params
         if params.get("hash_family", None) not in (None, "reference"):
             raise ValueError("hash_family must be 'reference' (or omitted)")
-        if self.reference_family and kind not in ("cms", "bloom"):
+        if self.reference_family and kind not in (
+            "cms", "bloom", "linearcounting", "loglog"
+        ):
             raise ValueError(f"hash_family='reference' unsupported for {kind!r}")
 
     @property
     def reference_family(self) -> bool:
-        """True = build with the JVM stream-lib hash family (CMS/Bloom
-        only) so the state is reference-wire exportable AND JVM-
-        queryable; items flow RAW (string or long), never pre-hashed."""
+        """True = build with the JVM stream-lib hash family (cms, bloom,
+        linearcounting, loglog[, adaptive]) so the state is
+        reference-wire exportable AND JVM-compatible for continued
+        updates / cross-system unions; items flow RAW (string or long),
+        never pre-hashed."""
         return self.params.get("hash_family") == "reference"
 
     @property
@@ -141,11 +154,16 @@ class SketchSpec:
 
     def new(self):
         if self.reference_family:
-            from .sketches.reference_family import ReferenceFamilyBloom, ReferenceFamilyCMS
-
             p = {k: v for k, v in self.params.items() if k != "hash_family"}
-            return (ReferenceFamilyCMS(**p) if self.kind == "cms"
-                    else ReferenceFamilyBloom(**p))
+            if self.kind == "cms":
+                return ReferenceFamilyCMS(**p)
+            if self.kind == "bloom":
+                return ReferenceFamilyBloom(**p)
+            if self.kind == "linearcounting":
+                return ReferenceFamilyLC(**p)
+            if p.pop("adaptive", False):
+                return ReferenceFamilyAdaptiveCounting(**p)
+            return ReferenceFamilyLogLog(**p)
         return self._FACTORIES[self.kind][0](self.params)
 
     def update(self, sk, arr: np.ndarray, counts: np.ndarray | None = None):

@@ -28,7 +28,14 @@ from .wire_export import EXPORTABLE, from_reference_wire, to_reference_wire  # n
 
 __all__ += ["EXPORTABLE", "from_reference_wire", "to_reference_wire"]
 
-# reference-hash-family BUILD mode (JVM-queryable CMS/Bloom state)
-from .reference_family import ReferenceFamilyBloom, ReferenceFamilyCMS  # noqa: E402
+# reference-hash-family BUILD mode (JVM-compatible sketch state)
+from .reference_family import (  # noqa: E402
+    ReferenceFamilyAdaptiveCounting,
+    ReferenceFamilyBloom,
+    ReferenceFamilyCMS,
+    ReferenceFamilyLC,
+    ReferenceFamilyLogLog,
+)
 
-__all__ += ["ReferenceFamilyBloom", "ReferenceFamilyCMS"]
+__all__ += ["ReferenceFamilyAdaptiveCounting", "ReferenceFamilyBloom",
+            "ReferenceFamilyCMS", "ReferenceFamilyLC", "ReferenceFamilyLogLog"]

@@ -39,6 +39,12 @@ class ReferenceLC:
     def __init__(self, bitmap: np.ndarray):
         self.bitmap = bitmap.astype(np.uint8)
 
+    @classmethod
+    def new(cls, size: int) -> "ReferenceLC":
+        """Empty filter, exactly ``new LinearCounting(size)``
+        (``LinearCounting.java:57-61``): a ``size``-byte zero bitmap."""
+        return cls(np.zeros(size, dtype=np.uint8))
+
     @property
     def length(self) -> int:
         return 8 * len(self.bitmap)

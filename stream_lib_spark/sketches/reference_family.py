@@ -35,6 +35,9 @@ from .cms_wire import ReferenceCMS
 
 KIND_CMS_REF = 13
 KIND_BLOOM_REF = 14
+KIND_LC_REF = 15
+KIND_LOGLOG_REF = 16
+KIND_ALC_REF = 17
 
 _ITEM_TYPES = ("string", "long")
 
@@ -45,6 +48,8 @@ class ReferenceFamilyCMS:
     the sketch is parity with: 'string' = ``add(String)`` (UTF-16
     double-hash buckets), 'long' = ``add(long)`` (per-row universal
     hashes) — they are different families in the reference itself."""
+
+    _KIND_ID = KIND_CMS_REF
 
     def __init__(self, depth: int | None = None, width: int | None = None,
                  seed: int = 1, eps: float | None = None,
@@ -112,6 +117,8 @@ class ReferenceFamilyBloom:
     ``BitSet.size()`` modulus equals the build modulus — every key
     answers identically on both sides (see ReferenceBloom.create)."""
 
+    _KIND_ID = KIND_BLOOM_REF
+
     def __init__(self, n_elements: int | None = None,
                  fpp: float | None = None,
                  buckets_per_element: int | None = None,
@@ -155,3 +162,105 @@ class ReferenceFamilyBloom:
         if kind != KIND_BLOOM_REF:
             raise ValueError(f"not a reference-family Bloom blob (kind {kind})")
         return cls(_ref=ReferenceBloom.from_bytes(data[HEADER_SIZE:]))
+
+
+class _ReferenceFamilyCardinality:
+    """Shared shape for the cardinality family built with the
+    reference's OWN item hashing (LC: murmur2-32 UTF-8 seed -1; LogLog:
+    murmur2-32 bucket/rank; AdaptiveCounting: lookup3ycs64).  These
+    estimators never re-hash at QUERY time, so plain estimation doesn't
+    need hash parity — what does is cross-system UNION: a JVM
+    deployment merging our exported state with its own sketches of an
+    overlapping stream, or continuing to offer() items into an imported
+    blob, double-counts unless both sides hashed items identically.
+    This build mode gives bit-parity on that axis (the update paths are
+    golden-tested byte-for-byte in tests/test_lc_wire.py /
+    tests/test_loglog_wire.py)."""
+
+    _KIND_ID: int = -1
+
+    def __init__(self, _ref=None, **params):
+        self.ref = _ref if _ref is not None else self._new(**params)
+
+    def update_batch(self, items: np.ndarray, counts: np.ndarray | None = None):
+        self.ref.add([str(x) for x in items])
+        return self
+
+    def cardinality(self) -> float:
+        return self.ref.cardinality()
+
+    def merge(self, other):
+        if self._KIND_ID != other._KIND_ID:
+            raise SketchMergeError("reference-family kind mismatch")
+        self.ref.merge(other.ref)
+        return self
+
+    def to_bytes(self) -> bytes:
+        return pack_header(self._KIND_ID) + self.ref.to_bytes()
+
+    def to_reference_bytes(self) -> bytes:
+        return self.ref.to_bytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes):
+        _, kind = unpack_header(data)
+        if kind != cls._KIND_ID:
+            raise ValueError(f"not a {cls.__name__} blob (kind {kind})")
+        return cls(_ref=cls._parse(data[HEADER_SIZE:]))
+
+
+class ReferenceFamilyLC(_ReferenceFamilyCardinality):
+    """LinearCounting with the reference's bitmap addressing —
+    ``new LinearCounting(size)`` semantics (size in BYTES)."""
+
+    _KIND_ID = KIND_LC_REF
+
+    @staticmethod
+    def _new(size: int):
+        from .lc_wire import ReferenceLC
+
+        return ReferenceLC.new(size)
+
+    @staticmethod
+    def _parse(raw: bytes):
+        from .lc_wire import ReferenceLC
+
+        return ReferenceLC(np.frombuffer(raw, dtype=np.uint8).copy())
+
+
+class ReferenceFamilyLogLog(_ReferenceFamilyCardinality):
+    """LogLog (Durand–Flajolet) with the reference's murmur2-32
+    bucket/rank addressing — ``new LogLog(k)`` semantics."""
+
+    _KIND_ID = KIND_LOGLOG_REF
+
+    @staticmethod
+    def _new(k: int):
+        from .loglog_wire import ReferenceLogLog
+
+        return ReferenceLogLog.new(k)
+
+    @staticmethod
+    def _parse(raw: bytes):
+        from .loglog_wire import ReferenceLogLog
+
+        return ReferenceLogLog(raw)
+
+
+class ReferenceFamilyAdaptiveCounting(_ReferenceFamilyCardinality):
+    """AdaptiveCounting with the reference's lookup3ycs64 addressing
+    and LC-below-0.051-empty-ratio estimator switch."""
+
+    _KIND_ID = KIND_ALC_REF
+
+    @staticmethod
+    def _new(k: int):
+        from .loglog_wire import ReferenceAdaptiveCounting
+
+        return ReferenceAdaptiveCounting.new(k)
+
+    @staticmethod
+    def _parse(raw: bytes):
+        from .loglog_wire import ReferenceAdaptiveCounting
+
+        return ReferenceAdaptiveCounting(raw)

@@ -22,6 +22,12 @@ Which kinds are exportable is a semantic question, not a format one:
                and refuses native-family state with a pointer to the
                build mode.  (Their ``*_wire`` codecs also round-trip
                REFERENCE-built blobs for import/query/merge.)
+  linearcounting, loglog, adaptivecounting
+               exportable IFF built in the reference hash family:
+               estimation never re-hashes, but cross-system UNIONS and
+               continued JVM-side offer() of an overlapping stream
+               double-count unless both sides hashed items identically
+               (murmur2-32 / lookup3ycs64 update paths, golden-tested).
   kll, bottomk no reference counterpart format.
   countthenestimate  untipped native state holds item HASHES, not the
                raw elements the reference serializes; tipped HLL++
@@ -32,7 +38,8 @@ from __future__ import annotations
 
 import pandas as pd
 
-EXPORTABLE = ("hll", "tdigest", "qdigest", "spacesaving", "cms", "bloom")
+EXPORTABLE = ("hll", "tdigest", "qdigest", "spacesaving", "cms", "bloom",
+              "linearcounting", "loglog")
 
 
 def reference_wire_udf(kind: str):
@@ -69,24 +76,21 @@ def to_reference_wire(kind: str, blob: bytes) -> bytes:
         from .spacesaving_wire import from_native, to_reference_bytes
 
         return to_reference_bytes(from_native(SpaceSaving.from_bytes(blob)))
-    if kind in ("cms", "bloom"):
+    if kind in ("cms", "bloom", "linearcounting", "loglog", "adaptivecounting"):
         from .base import unpack_header
-        from .reference_family import (
-            KIND_BLOOM_REF,
-            KIND_CMS_REF,
-            ReferenceFamilyBloom,
-            ReferenceFamilyCMS,
-        )
+        from . import reference_family as rf
 
         _, blob_kind = unpack_header(blob)
-        if blob_kind == KIND_CMS_REF:
-            return ReferenceFamilyCMS.from_bytes(blob).to_reference_bytes()
-        if blob_kind == KIND_BLOOM_REF:
-            return ReferenceFamilyBloom.from_bytes(blob).to_reference_bytes()
+        for cls in (rf.ReferenceFamilyCMS, rf.ReferenceFamilyBloom,
+                    rf.ReferenceFamilyLC, rf.ReferenceFamilyLogLog,
+                    rf.ReferenceFamilyAdaptiveCounting):
+            if blob_kind == cls._KIND_ID:
+                return cls.from_bytes(blob).to_reference_bytes()
         raise ValueError(
             f"this {kind} state was built with the native hash family — the "
-            f"JVM re-hashes probes with ITS family at query time, so the "
-            f"export would answer garbage; rebuild with "
+            f"JVM hashes items with ITS family (probe-time for cms/bloom, "
+            f"update-time for the cardinality kinds, where cross-system "
+            f"unions and continued offer() need bit-parity); rebuild with "
             f"SketchSpec({kind!r}, ..., hash_family='reference')"
         )
     raise ValueError(

@@ -222,3 +222,60 @@ def test_native_family_export_still_refused():
     native = CountMinSketch.from_accuracy(eps=0.01, confidence=0.9)
     with pytest.raises(ValueError, match="hash_family='reference'"):
         to_reference_wire("cms", native.to_bytes())
+
+
+# ------------------------------------------- cardinality family (r5 late)
+
+def test_cardinality_family_build_equals_sequential_reference(spark):
+    """Distributed reference-family LC / LogLog / AdaptiveCounting
+    builds are byte-identical to a SEQUENTIAL reference-path add of the
+    same items (bitmap OR / register max are the reference's own merge
+    semantics), stable under repartitioning, and export raw blobs the
+    reference codecs re-parse."""
+    from pyspark.sql import functions as F
+
+    from stream_lib_spark.agg import SketchSpec, collect_sketch, sketch_agg
+    from stream_lib_spark.sketches.lc_wire import ReferenceLC
+    from stream_lib_spark.sketches.loglog_wire import (
+        ReferenceAdaptiveCounting,
+        ReferenceLogLog,
+    )
+    from stream_lib_spark.sketches.wire_export import to_reference_wire
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    items = [str(r["user_id"]) for r in
+             ev.select(F.col("user_id").cast("string").alias("user_id")).collect()]
+    exact = len(set(items))
+
+    cases = [
+        (SketchSpec("linearcounting", size=1024, hash_family="reference"),
+         ReferenceLC.new(1024), "linearcounting", True),
+        # plain LogLog is HEAVILY biased at n << m (the reason
+        # AdaptiveCounting exists) - parity asserts only, no envelope
+        (SketchSpec("loglog", k=10, hash_family="reference"),
+         ReferenceLogLog.new(10), "loglog", False),
+        (SketchSpec("loglog", k=10, adaptive=True, hash_family="reference"),
+         ReferenceAdaptiveCounting.new(10), "loglog", True),
+    ]
+    for spec, seq, export_kind, check_envelope in cases:
+        sk1 = collect_sketch(sketch_agg(ev, [], "user_id", spec))
+        sk2 = collect_sketch(sketch_agg(ev.repartition(7), [], "user_id", spec))
+        assert sk1.to_bytes() == sk2.to_bytes()
+        seq.add(items)
+        assert sk1.to_reference_bytes() == seq.to_bytes()  # bit-parity
+        assert sk1.cardinality() == seq.cardinality()
+        raw = to_reference_wire(export_kind, sk1.to_bytes())
+        assert raw == seq.to_bytes()
+        if check_envelope:
+            # sanity: the estimate is in a loose envelope
+            assert abs(sk1.cardinality() - exact) <= max(0.35 * exact, 5)
+
+
+def test_cardinality_family_native_export_refused():
+    from stream_lib_spark.agg import SketchSpec, collect_sketch  # noqa: F401
+    from stream_lib_spark.sketches.linear import LinearCounting
+    from stream_lib_spark.sketches.wire_export import to_reference_wire
+
+    native = LinearCounting.for_cardinality(max_n=1000)
+    with pytest.raises(ValueError, match="hash_family='reference'"):
+        to_reference_wire("linearcounting", native.to_bytes())

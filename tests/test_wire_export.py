@@ -97,4 +97,5 @@ def test_unsound_kinds_refused():
                        ("bloom", BloomFilter.for_capacity(100, 0.01).to_bytes())):
         with pytest.raises(ValueError, match="native hash family"):
             to_reference_wire(kind, blob)
-    assert set(EXPORTABLE) == {"hll", "tdigest", "qdigest", "spacesaving", "cms", "bloom"}
+    assert set(EXPORTABLE) == {"hll", "tdigest", "qdigest", "spacesaving",
+                               "cms", "bloom", "linearcounting", "loglog"}
