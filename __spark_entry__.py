@@ -788,6 +788,41 @@ def q_bloom_reference_family(spark, sf_dir):
               "export_all_present boolean, fp_within_bound boolean")
 
 
+def q_cte_reference_family(spark, sf_dir):
+    """Reference-family CountThenEstimate gate (round 5): the untipped
+    phase counts RAW items (exact cardinality == exact distinct — the
+    SQL-matchable half), the tipped phase builds the estimator with the
+    reference's own hash paths, and both phases' exported JOS blobs
+    round-trip byte-exactly (JVM read-back proven in
+    tests/test_reference_family.py)."""
+    _ship(spark)
+    from stream_lib_spark.agg import SketchSpec, collect_sketch, sketch_agg
+    from stream_lib_spark.sketches.reference_family import ReferenceFamilyCTE
+    from stream_lib_spark.sketches.wire_export import to_reference_wire
+
+    ev = _t(spark, sf_dir, "events")
+    exact_users = _exact_distinct(spark, sf_dir, "events", "user_id")
+    spec_u = SketchSpec("countthenestimate", tipping_point=max(exact_users * 2, 100),
+                       builder="lc", size=4096, hash_family="reference")
+    u = collect_sketch(sketch_agg(ev, [], "user_id", spec_u))
+    raw_u = to_reference_wire("countthenestimate", u.to_bytes())
+    u_rt = ReferenceFamilyCTE.from_bytes(u.to_bytes())
+
+    p = 12
+    spec_t = SketchSpec("countthenestimate", tipping_point=64,
+                        builder="hllpp", p=p, sp=0, hash_family="reference")
+    t = collect_sketch(sketch_agg(ev, [], "event_id", spec_t))
+    n_events = ev.count()
+    bound = 3.0 * 1.04 / math.sqrt(1 << p) * n_events + 1
+    rows = [(int(exact_users),
+             bool(not u.tipped and u.cardinality() == exact_users),
+             bool(u_rt.to_reference_bytes() == raw_u),
+             bool(t.tipped and abs(t.cardinality() - n_events) <= bound))]
+    return spark.createDataFrame(
+        rows, "exact_users long, untipped_exact boolean, "
+              "export_roundtrip boolean, tipped_within_bound boolean")
+
+
 def q_checkpoint_resume_parity(spark, sf_dir):
     """North-rule resumability gate: a checkpointed sketch job killed
     after half its lineage buckets and RESUMED must produce state
@@ -1530,6 +1565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_reference_family": q_cms_reference_family,
         "bloom_reference_family": q_bloom_reference_family,
         "ivf_clustered_recall": q_ivf_clustered_recall,
+        "cte_reference_family": q_cte_reference_family,
         "tdigest_value_quantiles": q_tdigest_value_quantiles,
         "kll_price_quantiles": q_kll_price_quantiles,
         "qdigest_price_quantiles": q_qdigest_price_quantiles,
@@ -1682,6 +1718,11 @@ def oracle_sql() -> dict[str, str]:
         "ivf_clustered_recall": (
             "SELECT CAST(16 AS BIGINT) AS n_queries, "
             "CAST(80 AS BIGINT) AS n_truth_pairs, TRUE AS recall_ok"
+        ),
+        "cte_reference_family": (
+            "SELECT COUNT(DISTINCT user_id) AS exact_users, "
+            "TRUE AS untipped_exact, TRUE AS export_roundtrip, "
+            "TRUE AS tipped_within_bound FROM events"
         ),
         "tdigest_value_quantiles": (
             f"SELECT * FROM (VALUES {qs_rows}) AS t(q, within_bound)"

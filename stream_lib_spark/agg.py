@@ -62,11 +62,13 @@ from .sketches.reference_family import (
     KIND_ALC_REF,
     KIND_BLOOM_REF,
     KIND_CMS_REF,
+    KIND_CTE_REF,
     KIND_LC_REF,
     KIND_LOGLOG_REF,
     ReferenceFamilyAdaptiveCounting,
     ReferenceFamilyBloom,
     ReferenceFamilyCMS,
+    ReferenceFamilyCTE,
     ReferenceFamilyLC,
     ReferenceFamilyLogLog,
 )
@@ -92,6 +94,7 @@ _KIND_TO_CLS = {
     KIND_LC_REF: ReferenceFamilyLC,
     KIND_LOGLOG_REF: ReferenceFamilyLogLog,
     KIND_ALC_REF: ReferenceFamilyAdaptiveCounting,
+    KIND_CTE_REF: ReferenceFamilyCTE,
 }
 
 
@@ -133,7 +136,7 @@ class SketchSpec:
         if params.get("hash_family", None) not in (None, "reference"):
             raise ValueError("hash_family must be 'reference' (or omitted)")
         if self.reference_family and kind not in (
-            "cms", "bloom", "linearcounting", "loglog"
+            "cms", "bloom", "linearcounting", "loglog", "countthenestimate"
         ):
             raise ValueError(f"hash_family='reference' unsupported for {kind!r}")
 
@@ -161,6 +164,8 @@ class SketchSpec:
                 return ReferenceFamilyBloom(**p)
             if self.kind == "linearcounting":
                 return ReferenceFamilyLC(**p)
+            if self.kind == "countthenestimate":
+                return ReferenceFamilyCTE(**p)
             if p.pop("adaptive", False):
                 return ReferenceFamilyAdaptiveCounting(**p)
             return ReferenceFamilyLogLog(**p)

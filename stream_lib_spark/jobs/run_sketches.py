@@ -90,7 +90,8 @@ def main(argv=None):
         ops = [
             (name, col,
              SketchSpec(spec.kind, **{**spec.params, "hash_family": "reference"})
-             if spec.kind in ("cms", "bloom", "linearcounting", "loglog")
+             if spec.kind in ("cms", "bloom", "linearcounting", "loglog",
+                              "countthenestimate")
              and not spec.reference_family
              else spec)
             for name, col, spec in ops

@@ -33,9 +33,11 @@ from .reference_family import (  # noqa: E402
     ReferenceFamilyAdaptiveCounting,
     ReferenceFamilyBloom,
     ReferenceFamilyCMS,
+    ReferenceFamilyCTE,
     ReferenceFamilyLC,
     ReferenceFamilyLogLog,
 )
 
 __all__ += ["ReferenceFamilyAdaptiveCounting", "ReferenceFamilyBloom",
-            "ReferenceFamilyCMS", "ReferenceFamilyLC", "ReferenceFamilyLogLog"]
+            "ReferenceFamilyCMS", "ReferenceFamilyCTE", "ReferenceFamilyLC",
+            "ReferenceFamilyLogLog"]

@@ -38,6 +38,7 @@ KIND_BLOOM_REF = 14
 KIND_LC_REF = 15
 KIND_LOGLOG_REF = 16
 KIND_ALC_REF = 17
+KIND_CTE_REF = 18
 
 _ITEM_TYPES = ("string", "long")
 
@@ -264,3 +265,221 @@ class ReferenceFamilyAdaptiveCounting(_ReferenceFamilyCardinality):
         from .loglog_wire import ReferenceAdaptiveCounting
 
         return ReferenceAdaptiveCounting(raw)
+
+
+# --------------------------------------------------- CountThenEstimate
+
+_CTE_PKG = "com.clearspring.analytics.stream.cardinality."
+_CTE_BUILDERS = {
+    # kind -> (JVM builder class, args-from-params, estimator type code)
+    "lc": (_CTE_PKG + "LinearCounting$Builder", ("size",)),
+    "adaptive": (_CTE_PKG + "AdaptiveCounting$Builder", ("k",)),
+    "hllpp": (_CTE_PKG + "HyperLogLogPlus$Builder", ("p", "sp")),
+}
+_BUILDER_TO_KIND = {cls: kind for kind, (cls, _) in _CTE_BUILDERS.items()}
+
+
+class ReferenceFamilyCTE:
+    """CountThenEstimate with the reference's exact semantics as
+    distributed aggregation state — the untipped phase counts RAW
+    items (so the exported JOS stream carries real elements the JVM
+    re-counts / re-offers, unlike the native CTE whose untipped state
+    holds our 64-bit hashes), and the tip builds the estimator with
+    the reference's own hash paths:
+
+      lc        LinearCounting(size)        murmur2-32 UTF-8 seed -1
+      adaptive  AdaptiveCounting(k)         lookup3ycs64
+      hllpp     HyperLogLogPlus(p, sp)      MurmurHash64A (our parity
+                                            path, smhasher-golden)
+
+    Monoid shape: untipped ∪ untipped = element-set union (tipping if
+    past the point); tipped ⊔ tipped = estimator merge (bitmap OR /
+    register max — the reference's own merge semantics); mixed = offer
+    the untipped side's elements into the estimator.  All three are
+    set-functions of the offered items (dedup/order-insensitive), so
+    the distributed build equals a sequential reference offer-loop,
+    and serialization is canonical (elements sorted) → byte-identical
+    state under any regrouping.
+
+    JVM note (pinned in tests/test_cte_wire.py): the reference's
+    deserialization constructor AUTO-TIPS an untipped blob when
+    ``builder.sizeof() <= bytes.length`` — a large exported element
+    list loads tipped on the JVM side; the elements it tips with are
+    exactly ours, so cardinality agrees either way."""
+
+    _KIND_ID = KIND_CTE_REF
+
+    def __init__(self, tipping_point: int = 1000, builder: str = "hllpp",
+                 size: int | None = None, k: int | None = None,
+                 p: int = 14, sp: int = 25, _parsed=None):
+        if builder not in _CTE_BUILDERS:
+            raise ValueError(f"builder must be one of {sorted(_CTE_BUILDERS)}")
+        self.tipping_point = tipping_point
+        self.builder = builder
+        self.bparams = {"size": size, "k": k, "p": p, "sp": sp}
+        self.elements: set | None = set()
+        self.est = None
+        self.etype: int | None = None
+        if _parsed is not None:
+            self._restore(_parsed)
+
+    # ----------------------------------------------------------- build
+
+    def _builder_args(self) -> dict:
+        _, fields = _CTE_BUILDERS[self.builder]
+        args = {f: self.bparams[f] for f in fields}
+        if any(v is None for v in args.values()):
+            raise ValueError(f"builder {self.builder!r} needs params {fields}")
+        return args
+
+    def _build_estimator(self):
+        from .cte_wire import TYPE_AC, TYPE_HLPC, TYPE_LC
+
+        if self.builder == "lc":
+            from .lc_wire import ReferenceLC
+
+            return ReferenceLC.new(self.bparams["size"]), TYPE_LC
+        if self.builder == "adaptive":
+            from .loglog_wire import ReferenceAdaptiveCounting
+
+            return ReferenceAdaptiveCounting.new(self.bparams["k"]), TYPE_AC
+        from .hll import HllPlusPlus
+
+        return HllPlusPlus(p=self.bparams["p"], sp=self.bparams["sp"]), TYPE_HLPC
+
+    def _offer_into_est(self, items) -> None:
+        from .cte_wire import TYPE_HLPC
+
+        if not items:
+            return
+        strs = [str(x) for x in items]
+        if self.etype == TYPE_HLPC:
+            from ..hashing import murmur64a_array
+
+            self.est.update_hashed(
+                murmur64a_array(np.array(strs, dtype=object)).view(np.int64))
+        else:
+            self.est.add(strs)
+
+    def _maybe_tip(self) -> None:
+        if self.elements is not None and len(self.elements) > self.tipping_point:
+            self.est, self.etype = self._build_estimator()
+            self._offer_into_est(sorted(self.elements))
+            self.elements = None
+
+    # ---------------------------------------------------------- update
+
+    @property
+    def tipped(self) -> bool:
+        return self.elements is None
+
+    def update_batch(self, items: np.ndarray, counts: np.ndarray | None = None):
+        strs = [str(x) for x in items]
+        if self.tipped:
+            self._offer_into_est(strs)
+        else:
+            self.elements.update(strs)
+            self._maybe_tip()
+        return self
+
+    def cardinality(self) -> float:
+        if not self.tipped:
+            return float(len(self.elements))
+        return float(self.est.cardinality())
+
+    # ----------------------------------------------------------- merge
+
+    def merge(self, other: "ReferenceFamilyCTE") -> "ReferenceFamilyCTE":
+        if (self.builder, self._builder_args()) != (other.builder,
+                                                    other._builder_args()):
+            raise SketchMergeError("ReferenceFamilyCTE builder/param mismatch")
+        # the TIPPED wire carries no tipping point (the JVM discards it
+        # at tip() too), so the threshold is only comparable — and only
+        # matters — while both sides still count exactly
+        if (not self.tipped and not other.tipped
+                and self.tipping_point != other.tipping_point):
+            raise SketchMergeError("ReferenceFamilyCTE tipping_point mismatch")
+        if not self.tipped and not other.tipped:
+            self.elements |= other.elements
+            self._maybe_tip()
+        elif self.tipped and other.tipped:
+            self.est.merge(other.est)
+        elif self.tipped:
+            self._offer_into_est(sorted(other.elements))
+        else:
+            mine = self.elements
+            self.est, self.etype, self.elements = other.est, other.etype, None
+            self._offer_into_est(sorted(mine))
+        return self
+
+    # ----------------------------------------------------------- bytes
+
+    def _as_reference_cte(self):
+        from .cte_wire import TYPE_HLPC, ReferenceCTE
+
+        if not self.tipped:
+            cls, _ = _CTE_BUILDERS[self.builder]
+            return ReferenceCTE(False, tipping_point=self.tipping_point,
+                                builder_class=cls, builder_args=self._builder_args(),
+                                elements=sorted(self.elements))
+        if self.etype == TYPE_HLPC:
+            from .hll_wire import to_reference_bytes as hll_bytes
+
+            est_bytes = hll_bytes(self.est)
+        else:
+            est_bytes = self.est.to_bytes()
+        return ReferenceCTE(True, estimator_type=self.etype,
+                            estimator_bytes=est_bytes)
+
+    def to_reference_bytes(self) -> bytes:
+        from .cte_wire import to_reference_bytes
+
+        return to_reference_bytes(self._as_reference_cte())
+
+    def to_bytes(self) -> bytes:
+        return pack_header(KIND_CTE_REF) + self.to_reference_bytes()
+
+    def _restore(self, parsed) -> None:
+        from .cte_wire import TYPE_HLPC
+
+        if not parsed.tipped:
+            kind = _BUILDER_TO_KIND.get(parsed.builder_class)
+            if kind is None:
+                raise ValueError(f"unsupported builder {parsed.builder_class!r}")
+            self.builder = kind
+            self.bparams.update(parsed.builder_args)
+            self.tipping_point = parsed.tipping_point
+            self.elements = {str(e) for e in parsed.elements}
+            self.est = self.etype = None
+            return
+        self.elements = None
+        self.etype = parsed.estimator_type
+        if parsed.estimator_type == TYPE_HLPC:
+            from .hll_wire import from_reference_bytes
+
+            self.est = from_reference_bytes(parsed.estimator_bytes)
+            self.builder = "hllpp"
+            self.bparams.update({"p": self.est.p, "sp": self.est.sp})
+        else:
+            parsed_est = parsed.estimator()
+            self.est = parsed_est
+            from .cte_wire import TYPE_AC, TYPE_LC
+
+            if parsed.estimator_type == TYPE_LC:
+                self.builder = "lc"
+                self.bparams["size"] = len(parsed_est.bitmap)
+            elif parsed.estimator_type == TYPE_AC:
+                self.builder = "adaptive"
+                self.bparams["k"] = parsed_est.k
+            else:
+                raise ValueError(
+                    f"unsupported tipped estimator type {parsed.estimator_type}")
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "ReferenceFamilyCTE":
+        from .cte_wire import parse_reference_bytes
+
+        _, kind = unpack_header(data)
+        if kind != KIND_CTE_REF:
+            raise ValueError(f"not a reference-family CTE blob (kind {kind})")
+        return cls(_parsed=parse_reference_bytes(data[HEADER_SIZE:]))

@@ -29,9 +29,11 @@ Which kinds are exportable is a semantic question, not a format one:
                double-count unless both sides hashed items identically
                (murmur2-32 / lookup3ycs64 update paths, golden-tested).
   kll, bottomk no reference counterpart format.
-  countthenestimate  untipped native state holds item HASHES, not the
-               raw elements the reference serializes; tipped HLL++
-               states export via kind='hll' semantics if needed.
+  countthenestimate  exportable IFF built in the reference family
+               (``reference_family.ReferenceFamilyCTE``): the untipped
+               phase counts RAW items, so the JOS stream carries real
+               elements; native untipped state holds our 64-bit hashes
+               and still refuses.
 """
 
 from __future__ import annotations
@@ -39,7 +41,7 @@ from __future__ import annotations
 import pandas as pd
 
 EXPORTABLE = ("hll", "tdigest", "qdigest", "spacesaving", "cms", "bloom",
-              "linearcounting", "loglog")
+              "linearcounting", "loglog", "countthenestimate")
 
 
 def reference_wire_udf(kind: str):
@@ -76,14 +78,15 @@ def to_reference_wire(kind: str, blob: bytes) -> bytes:
         from .spacesaving_wire import from_native, to_reference_bytes
 
         return to_reference_bytes(from_native(SpaceSaving.from_bytes(blob)))
-    if kind in ("cms", "bloom", "linearcounting", "loglog", "adaptivecounting"):
+    if kind in ("cms", "bloom", "linearcounting", "loglog", "adaptivecounting",
+                "countthenestimate"):
         from .base import unpack_header
         from . import reference_family as rf
 
         _, blob_kind = unpack_header(blob)
         for cls in (rf.ReferenceFamilyCMS, rf.ReferenceFamilyBloom,
                     rf.ReferenceFamilyLC, rf.ReferenceFamilyLogLog,
-                    rf.ReferenceFamilyAdaptiveCounting):
+                    rf.ReferenceFamilyAdaptiveCounting, rf.ReferenceFamilyCTE):
             if blob_kind == cls._KIND_ID:
                 return cls.from_bytes(blob).to_reference_bytes()
         raise ValueError(

@@ -279,3 +279,120 @@ def test_cardinality_family_native_export_refused():
     native = LinearCounting.for_cardinality(max_n=1000)
     with pytest.raises(ValueError, match="hash_family='reference'"):
         to_reference_wire("linearcounting", native.to_bytes())
+
+
+# ----------------------------------------------- CountThenEstimate (r5)
+
+def test_cte_family_monoid_and_tip():
+    """Untipped = element-set union; crossing the tipping point builds
+    the estimator from ALL elements (set-function, so ANY merge order /
+    grouping lands on identical bytes — the monoid property)."""
+    from stream_lib_spark.sketches.reference_family import ReferenceFamilyCTE
+
+    def mk():
+        return ReferenceFamilyCTE(tipping_point=50, builder="lc", size=256)
+
+    items = [f"w{i}" for i in range(40)]
+    a = mk().update_batch(np.array(items[:25], dtype=object))
+    b = mk().update_batch(np.array(items[20:], dtype=object))
+    m = a.merge(b)
+    assert not m.tipped and m.cardinality() == 40
+    back = ReferenceFamilyCTE.from_bytes(m.to_bytes())
+    assert back.to_bytes() == m.to_bytes() and back.cardinality() == 40
+
+    # crossing the tip: sequential vs split-merge vs reversed-merge
+    many = [f"item-{i}" for i in range(120)]
+    seq = mk().update_batch(np.array(many, dtype=object))
+    left = mk().update_batch(np.array(many[:60], dtype=object))
+    right = mk().update_batch(np.array(many[60:], dtype=object))
+    merged = left.merge(right)
+    rleft = mk().update_batch(np.array(many[60:], dtype=object))
+    rright = mk().update_batch(np.array(many[:60], dtype=object))
+    rmerged = rleft.merge(rright)
+    assert seq.tipped and merged.tipped and rmerged.tipped
+    assert seq.to_bytes() == merged.to_bytes() == rmerged.to_bytes()
+    # mixed tipped+untipped merge
+    small = mk().update_batch(np.array(many[:10], dtype=object))
+    mixed = small.merge(ReferenceFamilyCTE.from_bytes(seq.to_bytes()))
+    assert mixed.to_bytes() == seq.to_bytes()
+
+
+def test_cte_family_all_builders_round_trip():
+    from stream_lib_spark.sketches.reference_family import ReferenceFamilyCTE
+
+    for kwargs in ({"builder": "lc", "size": 512},
+                   {"builder": "adaptive", "k": 8},
+                   {"builder": "hllpp", "p": 11, "sp": 0}):
+        sk = ReferenceFamilyCTE(tipping_point=30, **kwargs)
+        sk.update_batch(np.array([f"e{i}" for i in range(100)], dtype=object))
+        assert sk.tipped
+        back = ReferenceFamilyCTE.from_bytes(sk.to_bytes())
+        assert back.to_bytes() == sk.to_bytes()
+        assert back.cardinality() == sk.cardinality()
+        assert abs(sk.cardinality() - 100) <= 25  # loose envelope
+        # continued updates after a round trip keep working
+        back.update_batch(np.array(["extra-1", "extra-2"], dtype=object))
+
+
+def test_cte_family_spark_build_and_jvm_readback(spark):
+    """Distributed reference-family CTE: byte-identical under
+    repartitioning in BOTH phases (untipped element set, tipped
+    estimator), and the javac-compiled reference deserializes our
+    exported blobs and reports the same tipped flag + cardinality
+    (reusing the ReadBack harness from test_cte_readback)."""
+    from pyspark.sql import functions as F
+
+    from stream_lib_spark.agg import SketchSpec, collect_sketch, sketch_agg
+    from stream_lib_spark.sketches.wire_export import to_reference_wire
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # untipped phase: 15 users < tipping_point
+    spec_u = SketchSpec("countthenestimate", tipping_point=1000,
+                        builder="lc", size=1024, hash_family="reference")
+    u1 = collect_sketch(sketch_agg(ev, [], "user_id", spec_u))
+    u2 = collect_sketch(sketch_agg(ev.repartition(7), [], "user_id", spec_u))
+    assert u1.to_bytes() == u2.to_bytes()
+    assert not u1.tipped and u1.cardinality() == 15
+
+    # tipped phase: event_id is unique per row -> tips at 100
+    spec_t = SketchSpec("countthenestimate", tipping_point=100,
+                        builder="hllpp", p=12, sp=0, hash_family="reference")
+    t1 = collect_sketch(sketch_agg(ev, [], "event_id", spec_t))
+    t2 = collect_sketch(sketch_agg(ev.repartition(5), [], "event_id", spec_t))
+    assert t1.to_bytes() == t2.to_bytes()
+    assert t1.tipped
+    n_events = ev.count()
+    assert abs(t1.cardinality() - n_events) <= max(0.1 * n_events, 5)
+
+    raw_u = to_reference_wire("countthenestimate", u1.to_bytes())
+    raw_t = to_reference_wire("countthenestimate", t1.to_bytes())
+
+    # JVM read-back (same harness/classes as test_cte_readback)
+    import shutil as _sh
+    import subprocess
+
+    if _sh.which("javac") is None:
+        pytest.skip("JDK not available")
+    cls_dir = "/tmp/ref_readback_classes"
+    if not os.path.exists(os.path.join(cls_dir, "ReadBack.class")):
+        os.makedirs(cls_dir, exist_ok=True)
+        src = "/root/reference/src/main/java"
+        r = subprocess.run(
+            ["javac", "-encoding", "UTF-8", "-d", cls_dir, "-sourcepath", src,
+             f"{src}/com/clearspring/analytics/stream/cardinality/CountThenEstimate.java",
+             os.path.join(GOLDEN_DIR, "ReadBack.java")],
+            capture_output=True, text=True)
+        if r.returncode != 0:
+            pytest.skip(f"reference compile failed: {r.stderr[:300]}")
+    inp = "\n".join(base64.b64encode(b).decode() for b in (raw_u, raw_t))
+    out = subprocess.run(["java", "-cp", cls_dir, "ReadBack"], input=inp,
+                         capture_output=True, text=True, check=True)
+    rows = [l.split(",") for l in out.stdout.strip().splitlines()]
+    assert rows[0][0] == "false" and float(rows[0][1]) == 15.0
+    assert rows[1][0] == "true"
+    # same REGISTERS, different estimator formulas: the JVM applies its
+    # Google-bias-corrected HLL++ estimate, we apply Ertl - both must
+    # land inside the published 3-sigma bound of the true count
+    jvm_est = float(rows[1][1])
+    bound = 3 * 1.04 / (1 << 6) * n_events + 1  # p=12: 3*1.04/sqrt(4096)
+    assert abs(jvm_est - n_events) <= bound, (jvm_est, n_events)

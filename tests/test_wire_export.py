@@ -98,4 +98,5 @@ def test_unsound_kinds_refused():
         with pytest.raises(ValueError, match="native hash family"):
             to_reference_wire(kind, blob)
     assert set(EXPORTABLE) == {"hll", "tdigest", "qdigest", "spacesaving",
-                               "cms", "bloom", "linearcounting", "loglog"}
+                               "cms", "bloom", "linearcounting", "loglog",
+                               "countthenestimate"}
