@@ -63,12 +63,14 @@ from .sketches.reference_family import (
     KIND_BLOOM_REF,
     KIND_CMS_REF,
     KIND_CTE_REF,
+    KIND_HLLC_REF,
     KIND_LC_REF,
     KIND_LOGLOG_REF,
     ReferenceFamilyAdaptiveCounting,
     ReferenceFamilyBloom,
     ReferenceFamilyCMS,
     ReferenceFamilyCTE,
+    ReferenceFamilyHLLClassic,
     ReferenceFamilyLC,
     ReferenceFamilyLogLog,
 )
@@ -95,6 +97,7 @@ _KIND_TO_CLS = {
     KIND_LOGLOG_REF: ReferenceFamilyLogLog,
     KIND_ALC_REF: ReferenceFamilyAdaptiveCounting,
     KIND_CTE_REF: ReferenceFamilyCTE,
+    KIND_HLLC_REF: ReferenceFamilyHLLClassic,
 }
 
 
@@ -129,14 +132,20 @@ class SketchSpec:
     }
 
     def __init__(self, kind: str, **params):
-        if kind not in self._FACTORIES:
+        if kind not in self._FACTORIES and kind != "hllc":
+            # 'hllc' (the reference's classic HyperLogLog class) exists
+            # only as a reference-family build; native classic-HLL shape
+            # is SketchSpec('hll', sp=0, estimator='classic')
             raise ValueError(f"unknown sketch kind {kind!r}")
+        if kind == "hllc" and params.get("hash_family") != "reference":
+            raise ValueError("kind 'hllc' requires hash_family='reference'")
         self.kind = kind
         self.params = params
         if params.get("hash_family", None) not in (None, "reference"):
             raise ValueError("hash_family must be 'reference' (or omitted)")
         if self.reference_family and kind not in (
-            "cms", "bloom", "linearcounting", "loglog", "countthenestimate"
+            "cms", "bloom", "linearcounting", "loglog", "countthenestimate",
+            "hllc"
         ):
             raise ValueError(f"hash_family='reference' unsupported for {kind!r}")
 
@@ -166,6 +175,8 @@ class SketchSpec:
                 return ReferenceFamilyLC(**p)
             if self.kind == "countthenestimate":
                 return ReferenceFamilyCTE(**p)
+            if self.kind == "hllc":
+                return ReferenceFamilyHLLClassic(**p)
             if p.pop("adaptive", False):
                 return ReferenceFamilyAdaptiveCounting(**p)
             return ReferenceFamilyLogLog(**p)

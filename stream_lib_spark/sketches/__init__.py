@@ -34,10 +34,12 @@ from .reference_family import (  # noqa: E402
     ReferenceFamilyBloom,
     ReferenceFamilyCMS,
     ReferenceFamilyCTE,
+    ReferenceFamilyHLLClassic,
     ReferenceFamilyLC,
     ReferenceFamilyLogLog,
 )
 
 __all__ += ["ReferenceFamilyAdaptiveCounting", "ReferenceFamilyBloom",
-            "ReferenceFamilyCMS", "ReferenceFamilyCTE", "ReferenceFamilyLC",
+            "ReferenceFamilyCMS", "ReferenceFamilyCTE",
+            "ReferenceFamilyHLLClassic", "ReferenceFamilyLC",
             "ReferenceFamilyLogLog"]

@@ -39,6 +39,7 @@ KIND_LC_REF = 15
 KIND_LOGLOG_REF = 16
 KIND_ALC_REF = 17
 KIND_CTE_REF = 18
+KIND_HLLC_REF = 19
 
 _ITEM_TYPES = ("string", "long")
 
@@ -246,6 +247,27 @@ class ReferenceFamilyLogLog(_ReferenceFamilyCardinality):
         from .loglog_wire import ReferenceLogLog
 
         return ReferenceLogLog(raw)
+
+
+class ReferenceFamilyHLLClassic(_ReferenceFamilyCardinality):
+    """Classic HyperLogLog (the reference's separate ``HyperLogLog``
+    class, not HLL++) with its murmur2-32 update path, including the
+    rho-expression precedence quirk reproduced verbatim — packed 5-bit
+    RegisterSet wire."""
+
+    _KIND_ID = KIND_HLLC_REF
+
+    @staticmethod
+    def _new(log2m: int):
+        from .loglog_wire import ReferenceHyperLogLog
+
+        return ReferenceHyperLogLog.new(log2m)
+
+    @staticmethod
+    def _parse(raw: bytes):
+        from .loglog_wire import ReferenceHyperLogLog
+
+        return ReferenceHyperLogLog.from_bytes(raw)
 
 
 class ReferenceFamilyAdaptiveCounting(_ReferenceFamilyCardinality):

@@ -41,7 +41,7 @@ from __future__ import annotations
 import pandas as pd
 
 EXPORTABLE = ("hll", "tdigest", "qdigest", "spacesaving", "cms", "bloom",
-              "linearcounting", "loglog", "countthenestimate")
+              "linearcounting", "loglog", "countthenestimate", "hllc")
 
 
 def reference_wire_udf(kind: str):
@@ -79,14 +79,15 @@ def to_reference_wire(kind: str, blob: bytes) -> bytes:
 
         return to_reference_bytes(from_native(SpaceSaving.from_bytes(blob)))
     if kind in ("cms", "bloom", "linearcounting", "loglog", "adaptivecounting",
-                "countthenestimate"):
+                "countthenestimate", "hllc"):
         from .base import unpack_header
         from . import reference_family as rf
 
         _, blob_kind = unpack_header(blob)
         for cls in (rf.ReferenceFamilyCMS, rf.ReferenceFamilyBloom,
                     rf.ReferenceFamilyLC, rf.ReferenceFamilyLogLog,
-                    rf.ReferenceFamilyAdaptiveCounting, rf.ReferenceFamilyCTE):
+                    rf.ReferenceFamilyAdaptiveCounting, rf.ReferenceFamilyCTE,
+                    rf.ReferenceFamilyHLLClassic):
             if blob_kind == cls._KIND_ID:
                 return cls.from_bytes(blob).to_reference_bytes()
         raise ValueError(

@@ -396,3 +396,31 @@ def test_cte_family_spark_build_and_jvm_readback(spark):
     jvm_est = float(rows[1][1])
     bound = 3 * 1.04 / (1 << 6) * n_events + 1  # p=12: 3*1.04/sqrt(4096)
     assert abs(jvm_est - n_events) <= bound, (jvm_est, n_events)
+
+
+def test_hllc_family_build_equals_sequential_reference(spark):
+    """Reference-family classic HyperLogLog (the reference's separate
+    HyperLogLog class): distributed build == sequential reference add,
+    byte-for-byte incl. the packed 5-bit RegisterSet wire, stable under
+    repartitioning; golden-family codec re-parses the export."""
+    from pyspark.sql import functions as F
+
+    from stream_lib_spark.agg import SketchSpec, collect_sketch, sketch_agg
+    from stream_lib_spark.sketches.loglog_wire import ReferenceHyperLogLog
+    from stream_lib_spark.sketches.wire_export import to_reference_wire
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    items = [str(r["user_id"]) for r in
+             ev.select(F.col("user_id").cast("string").alias("user_id")).collect()]
+    spec = SketchSpec("hllc", log2m=10, hash_family="reference")
+    sk1 = collect_sketch(sketch_agg(ev, [], "user_id", spec))
+    sk2 = collect_sketch(sketch_agg(ev.repartition(6), [], "user_id", spec))
+    assert sk1.to_bytes() == sk2.to_bytes()
+    seq = ReferenceHyperLogLog.new(10)
+    seq.add(items)
+    assert sk1.to_reference_bytes() == seq.to_bytes()
+    assert sk1.cardinality() == seq.cardinality()
+    raw = to_reference_wire("hllc", sk1.to_bytes())
+    assert ReferenceHyperLogLog.from_bytes(raw).to_bytes() == raw
+    exact = len(set(items))
+    assert abs(sk1.cardinality() - exact) <= max(0.35 * exact, 5)

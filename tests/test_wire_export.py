@@ -99,4 +99,4 @@ def test_unsound_kinds_refused():
             to_reference_wire(kind, blob)
     assert set(EXPORTABLE) == {"hll", "tdigest", "qdigest", "spacesaving",
                                "cms", "bloom", "linearcounting", "loglog",
-                               "countthenestimate"}
+                               "countthenestimate", "hllc"}
