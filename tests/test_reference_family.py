@@ -424,3 +424,32 @@ def test_hllc_family_build_equals_sequential_reference(spark):
     assert ReferenceHyperLogLog.from_bytes(raw).to_bytes() == raw
     exact = len(set(items))
     assert abs(sk1.cardinality() - exact) <= max(0.35 * exact, 5)
+
+
+def test_keyed_reference_family_builds(spark):
+    """Reference-family specs compose with the KEYED aggregation path:
+    one JVM-compatible sketch per group, CMS never undercounts, CTE
+    untipped counts exactly per key."""
+    from pyspark.sql import functions as F
+
+    from stream_lib_spark.agg import SketchSpec, sketch_agg, sketch_from_bytes
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    spec = SketchSpec("cms", depth=5, width=500, seed=7, hash_family="reference")
+    rows = sketch_agg(ev, ["event_type"], "user_id", spec).collect()
+    assert len(rows) == ev.select("event_type").distinct().count()
+    exact = {(r["event_type"], str(r["user_id"])): r["count"] for r in
+             ev.groupBy("event_type", "user_id").count().collect()}
+    for r in rows:
+        sk = sketch_from_bytes(bytes(r["sketch"]))
+        for uid in range(5):
+            est = int(sk.estimate([str(uid)])[0])
+            assert est >= exact.get((r["event_type"], str(uid)), 0)
+
+    spec2 = SketchSpec("countthenestimate", tipping_point=1000,
+                       builder="lc", size=512, hash_family="reference")
+    rows2 = sketch_agg(ev, ["event_type"], "user_id", spec2).collect()
+    ex2 = {r["event_type"]: r["n"] for r in
+           ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()}
+    for r in rows2:
+        assert sketch_from_bytes(bytes(r["sketch"])).cardinality() == ex2[r["event_type"]]
