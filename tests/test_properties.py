@@ -194,3 +194,53 @@ def test_spacesaving_wire_roundtrip_property(counters):
         back = parse_reference_bytes(blob)
         assert back.counters == sorted(subset, key=lambda t: t[1])
         assert to_reference_bytes(back) == blob
+
+
+# -------------------------------------- reference-hash-family monoids (r5)
+
+from stream_lib_spark.sketches.reference_family import (  # noqa: E402
+    ReferenceFamilyAdaptiveCounting,
+    ReferenceFamilyBloom,
+    ReferenceFamilyCMS,
+    ReferenceFamilyCTE,
+    ReferenceFamilyHLLClassic,
+    ReferenceFamilyLC,
+    ReferenceFamilyLogLog,
+)
+
+_REF_MONOIDS = {
+    "cms_ref": lambda: ReferenceFamilyCMS(depth=4, width=64, seed=7),
+    "bloom_ref": lambda: ReferenceFamilyBloom(n_elements=64, fpp=0.05),
+    "lc_ref": lambda: ReferenceFamilyLC(size=128),
+    "loglog_ref": lambda: ReferenceFamilyLogLog(k=5),
+    "alc_ref": lambda: ReferenceFamilyAdaptiveCounting(k=5),
+    "hllc_ref": lambda: ReferenceFamilyHLLClassic(log2m=5),
+    # tipping_point=20 so hypothesis regularly exercises tip crossings
+    # in ALL merge orders (untipped∪untipped→tip, tipped⊔tipped, mixed)
+    "cte_ref": lambda: ReferenceFamilyCTE(tipping_point=20, builder="lc", size=64),
+}
+
+
+def _ref_update(sk, vals):
+    if vals:
+        items = np.array([f"i{v}" for v in vals], dtype=object)
+        u, c = np.unique(items.astype("U"), return_counts=True)
+        sk.update_batch(u.astype(object), c.astype(np.int64))
+    return sk
+
+
+@settings(max_examples=30, deadline=None)
+@given(a=ints, b=ints, c=ints, kind=st.sampled_from(sorted(_REF_MONOIDS)))
+def test_reference_family_merge_byte_identity(a, b, c, kind):
+    """The north-rule byte-associativity law holds for every
+    reference-hash-family kind, including CountThenEstimate across tip
+    crossings: any merge grouping/order == the single-pass sketch."""
+    new = _REF_MONOIDS[kind]
+    skb, skc = _ref_update(new(), b), _ref_update(new(), c)
+    ab_c = _ref_update(new(), a).merge(skb).merge(skc).to_bytes()
+    bc = _ref_update(new(), b).merge(_ref_update(new(), c))
+    a_bc = _ref_update(new(), a).merge(bc).to_bytes()
+    cba = _ref_update(new(), c).merge(_ref_update(new(), b)).merge(
+        _ref_update(new(), a)).to_bytes()
+    single = _ref_update(new(), a + b + c).to_bytes()
+    assert ab_c == a_bc == cba == single
