@@ -1337,6 +1337,48 @@ def q_wire_interop(spark, sf_dir):
         n += 1
     rows.append(("spacesaving", n, bool(ok)))
 
+    # round-5 reference-family BUILD mode: sketches constructed from
+    # scratch in the JVM's hash families must round-trip through the
+    # library frame AND re-parse via the reference codecs, answering
+    # identically (full JVM ReadBack proofs live in
+    # tests/test_reference_family.py; this row pins the export path
+    # per-round in the driver artifact)
+    from stream_lib_spark.sketches.reference_family import (
+        ReferenceFamilyAdaptiveCounting,
+        ReferenceFamilyBloom,
+        ReferenceFamilyCMS,
+        ReferenceFamilyCTE,
+        ReferenceFamilyHLLClassic,
+        ReferenceFamilyLC,
+        ReferenceFamilyLogLog,
+    )
+    from stream_lib_spark.sketches.wire_export import to_reference_wire
+
+    items = np.array([f"rf-{i % 61}" for i in range(150)], dtype=object)
+    u, c = np.unique(items.astype("U"), return_counts=True)
+    u, c = u.astype(object), c.astype(np.int64)
+    builds = [
+        ("cms", ReferenceFamilyCMS(depth=4, width=271, seed=31337)),
+        ("bloom", ReferenceFamilyBloom(n_elements=100, fpp=0.01)),
+        ("linearcounting", ReferenceFamilyLC(size=512)),
+        ("loglog", ReferenceFamilyLogLog(k=8)),
+        ("loglog", ReferenceFamilyAdaptiveCounting(k=8)),
+        ("hllc", ReferenceFamilyHLLClassic(log2m=8)),
+        ("countthenestimate", ReferenceFamilyCTE(tipping_point=30, builder="lc", size=256)),
+    ]
+    ok, n = True, 0
+    for export_kind, sk in builds:
+        sk.update_batch(u, c)
+        lib = sk.to_bytes()
+        raw = to_reference_wire(export_kind, lib)
+        ok &= raw == sk.to_reference_bytes()
+        back = type(sk).from_bytes(lib)
+        ok &= back.to_bytes() == lib
+        if hasattr(sk, "cardinality"):
+            ok &= back.cardinality() == sk.cardinality()
+        n += 1
+    rows.append(("reference_family_build", n, bool(ok)))
+
     return spark.createDataFrame(rows, "kind string, n_cases long, all_ok boolean").orderBy("kind")
 
 
@@ -1831,6 +1873,7 @@ def oracle_sql() -> dict[str, str]:
             "('linearcounting', CAST(3 AS BIGINT), TRUE), "
             "('loglog', CAST(3 AS BIGINT), TRUE), "
             "('qdigest', CAST(3 AS BIGINT), TRUE), "
+            "('reference_family_build', CAST(7 AS BIGINT), TRUE), "
             "('spacesaving', CAST(7 AS BIGINT), TRUE), "
             "('tdigest', CAST(6 AS BIGINT), TRUE)) AS t(kind, n_cases, all_ok) "
             "ORDER BY kind"
