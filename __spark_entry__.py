@@ -72,6 +72,19 @@ def _exact_distinct(spark, sf_dir: str, table: str, col: str) -> int:
     return _EXACT_CACHE[key]
 
 
+def _exact_distinct_values(spark, sf_dir: str, table: str, col: str) -> list:
+    """Cached distinct VALUE LIST (stringified) — one distinct job feeds
+    both the probe lists and the exact count (len) in gates that need
+    the actual values, instead of a distinct().count() plus a separate
+    distinct().collect()."""
+    key = (sf_dir, table, col, "__values")
+    if key not in _EXACT_CACHE:
+        df = _t(spark, sf_dir, table)
+        _EXACT_CACHE[key] = sorted(str(r[col]) for r in df.select(col).distinct().collect())
+        _EXACT_CACHE[(sf_dir, table, col)] = len(_EXACT_CACHE[key])  # feed the count cache
+    return _EXACT_CACHE[key]
+
+
 def _overlap_exact(spark, sf_dir: str) -> tuple:
     """(exact intersection, exact union) of click vs purchase user sets
     — shared by the HLL-intersection and bottom-k-overlap gates."""
@@ -770,11 +783,11 @@ def q_bloom_reference_family(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     fpp = 0.01
-    exact_users = _exact_distinct(spark, sf_dir, "events", "user_id")
+    present = _exact_distinct_values(spark, sf_dir, "events", "user_id")
+    exact_users = len(present)
     spec = SketchSpec("bloom", n_elements=max(exact_users, 100), fpp=fpp,
                       hash_family="reference")
     sk = collect_sketch(sketch_agg(ev, [], "user_id", spec))
-    present = [str(r["user_id"]) for r in ev.select("user_id").distinct().collect()]
     absent = [f"absent-user-{i}" for i in range(2000)]
     blob = to_reference_wire("bloom", sk.to_bytes())
     back = ReferenceBloom.from_bytes(blob)

@@ -152,7 +152,10 @@ class HadoopFS(StateFS):
         self._jvm = spark._jvm
         jpath = self._jvm.org.apache.hadoop.fs.Path(base_uri)
         self._fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        scheme = base_uri.split("://", 1)[0].lower() if "://" in base_uri else ""
+        # classify by the RESOLVED filesystem's scheme, not by string
+        # parsing of base_uri: a scheme-less path on a cluster whose
+        # fs.defaultFS is hdfs://nn must take the rename-atomic path
+        scheme = (self._fs.getUri().getScheme() or "").lower()
         self._rename_atomic = scheme in _RENAME_ATOMIC_SCHEMES
 
     def _p(self, path: str):

@@ -96,6 +96,24 @@ def main(argv=None):
              else spec)
             for name, col, spec in ops
         ]
+        # fail FAST at the CLI if any rewritten spec can't construct —
+        # the native kinds' param vocabularies (e.g. linearcounting
+        # max_n=..., bloom m_bits/k) don't all map onto the reference-
+        # family constructors, and a TypeError inside mapInPandas on an
+        # executor is an opaque way to find that out
+        for name, _col, spec in ops:
+            try:
+                spec.new()
+            except (TypeError, ValueError) as e:
+                ap.error(
+                    f"op {name!r}: --wire-format reference rebuilds this as a "
+                    f"reference-hash-family sketch, but the spec params don't "
+                    f"fit its constructor ({e}). Accepted params: "
+                    "cms(depth,width,seed | eps,confidence,seed [,item_type=long]); "
+                    "bloom(n_elements, fpp | buckets_per_element); "
+                    "linearcounting(size); loglog(k [,adaptive=1]); "
+                    "countthenestimate(tipping_point, builder=lc|adaptive|hllpp, "
+                    "size|k|p,sp); hllc(log2m)")
 
     # only stop a session this job created — getOrCreate() returns any
     # live session (e.g. a host application invoking main() in-process)

@@ -227,7 +227,7 @@ class ReferenceFamilyLC(_ReferenceFamilyCardinality):
     def _parse(raw: bytes):
         from .lc_wire import ReferenceLC
 
-        return ReferenceLC(np.frombuffer(raw, dtype=np.uint8).copy())
+        return ReferenceLC.from_bytes(raw)
 
 
 class ReferenceFamilyLogLog(_ReferenceFamilyCardinality):
@@ -429,8 +429,14 @@ class ReferenceFamilyCTE:
         elif self.tipped:
             self._offer_into_est(sorted(other.elements))
         else:
+            import copy
+
+            # COPY other's estimator before folding our elements into it:
+            # adopting by reference would silently mutate the `other`
+            # argument (every merge in this library leaves other intact)
             mine = self.elements
-            self.est, self.etype, self.elements = other.est, other.etype, None
+            self.est, self.etype = copy.deepcopy(other.est), other.etype
+            self.elements = None
             self._offer_into_est(sorted(mine))
         return self
 

@@ -80,23 +80,45 @@ def to_reference_wire(kind: str, blob: bytes) -> bytes:
         return to_reference_bytes(from_native(SpaceSaving.from_bytes(blob)))
     if kind in ("cms", "bloom", "linearcounting", "loglog", "adaptivecounting",
                 "countthenestimate", "hllc"):
-        from .base import unpack_header
+        from .base import KIND_BLOOM, KIND_CMS, KIND_LINEARCOUNTING, KIND_LOGLOG, unpack_header
+        from .countthenestimate import KIND_CTE
         from . import reference_family as rf
 
+        allowed = {
+            "cms": (rf.ReferenceFamilyCMS,),
+            "bloom": (rf.ReferenceFamilyBloom,),
+            "linearcounting": (rf.ReferenceFamilyLC,),
+            "loglog": (rf.ReferenceFamilyLogLog, rf.ReferenceFamilyAdaptiveCounting),
+            "adaptivecounting": (rf.ReferenceFamilyAdaptiveCounting,),
+            "countthenestimate": (rf.ReferenceFamilyCTE,),
+            "hllc": (rf.ReferenceFamilyHLLClassic,),
+        }[kind]
         _, blob_kind = unpack_header(blob)
-        for cls in (rf.ReferenceFamilyCMS, rf.ReferenceFamilyBloom,
-                    rf.ReferenceFamilyLC, rf.ReferenceFamilyLogLog,
-                    rf.ReferenceFamilyAdaptiveCounting, rf.ReferenceFamilyCTE,
-                    rf.ReferenceFamilyHLLClassic):
+        for cls in allowed:
             if blob_kind == cls._KIND_ID:
                 return cls.from_bytes(blob).to_reference_bytes()
-        raise ValueError(
-            f"this {kind} state was built with the native hash family — the "
-            f"JVM hashes items with ITS family (probe-time for cms/bloom, "
-            f"update-time for the cardinality kinds, where cross-system "
-            f"unions and continued offer() need bit-parity); rebuild with "
-            f"SketchSpec({kind!r}, ..., hash_family='reference')"
-        )
+        all_ref = {c._KIND_ID: c.__name__ for c in (
+            rf.ReferenceFamilyCMS, rf.ReferenceFamilyBloom, rf.ReferenceFamilyLC,
+            rf.ReferenceFamilyLogLog, rf.ReferenceFamilyAdaptiveCounting,
+            rf.ReferenceFamilyCTE, rf.ReferenceFamilyHLLClassic)}
+        if blob_kind in all_ref:
+            # crossed wires: a reference-family blob of a DIFFERENT kind
+            # must not silently export as this one
+            raise ValueError(
+                f"kind/blob mismatch: asked to export {kind!r} but the blob "
+                f"is a {all_ref[blob_kind]} state")
+        native_ids = {"cms": KIND_CMS, "bloom": KIND_BLOOM,
+                      "linearcounting": KIND_LINEARCOUNTING,
+                      "loglog": KIND_LOGLOG, "countthenestimate": KIND_CTE}
+        if blob_kind == native_ids.get(kind):
+            raise ValueError(
+                f"this {kind} state was built with the native hash family — the "
+                f"JVM hashes items with ITS family (probe-time for cms/bloom, "
+                f"update-time for the cardinality kinds, where cross-system "
+                f"unions and continued offer() need bit-parity); rebuild with "
+                f"SketchSpec({kind!r}, ..., hash_family='reference')"
+            )
+        raise ValueError(f"unrecognized sketch blob (kind id {blob_kind}) for {kind!r}")
     raise ValueError(
         f"sketch kind {kind!r} has no sound reference export "
         f"(exportable: {', '.join(EXPORTABLE)}) — see wire_export.py for why"

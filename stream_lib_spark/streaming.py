@@ -116,6 +116,11 @@ def streaming_sketch_query(stream_df: DataFrame, col: str, spec: SketchSpec,
     False``) for a LIVE continuous micro-batch cadence — the versioned
     store commits one version per fired batch under either trigger
     (tests/test_streaming.py exercises both)."""
+    if processing_time is not None and trigger_available_now:
+        raise ValueError(
+            "processing_time requires trigger_available_now=False — the "
+            "availableNow default would silently win and the query would "
+            "replay-and-terminate instead of firing on the clock")
     store = SketchStateStore(state_dir, fs=fs)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:

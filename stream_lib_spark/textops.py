@@ -628,10 +628,17 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         )
         changed = None
         try:
-            changed = obs.get.get("changed")
+            # bounded accessor: the JVM Observation's getRowOrEmpty waits
+            # at most ~100ms then returns empty — unlike Observation.get,
+            # which parks FOREVER if the action skipped the listener, so
+            # the fallback below stays reachable instead of a hang
+            jopt = obs._jo.getRowOrEmpty()
+            if jopt.isDefined():
+                changed = int(jopt.get().getLong(0))
         except Exception:  # pragma: no cover — defensive fallback
-            if (it + 1) % check_every == 0 or it == max_iters - 1:
-                changed = updated.where(F.col("new_lbl") < F.col("lbl")).count()
+            changed = None
+        if changed is None and ((it + 1) % check_every == 0 or it == max_iters - 1):
+            changed = updated.where(F.col("new_lbl") < F.col("lbl")).count()
         labels = updated.select("node", F.col("new_lbl").alias("lbl"))
         if changed == 0:
             break

@@ -453,3 +453,69 @@ def test_keyed_reference_family_builds(spark):
            ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()}
     for r in rows2:
         assert sketch_from_bytes(bytes(r["sketch"])).cardinality() == ex2[r["event_type"]]
+
+
+# ------------------------------------- round-5 self-review regressions
+
+def test_cte_merge_does_not_mutate_other():
+    """merge(untipped_self, tipped_other) must leave `other` untouched
+    (library-wide convention); the estimator is copied, not adopted."""
+    from stream_lib_spark.sketches.reference_family import ReferenceFamilyCTE
+
+    def mk():
+        return ReferenceFamilyCTE(tipping_point=10, builder="lc", size=64)
+
+    tipped = mk().update_batch(np.array([f"t{i}" for i in range(30)], dtype=object))
+    assert tipped.tipped
+    before = tipped.to_bytes()
+    untipped = mk().update_batch(np.array(["only-mine"], dtype=object))
+    untipped.merge(tipped)
+    assert tipped.to_bytes() == before  # other unchanged
+    assert untipped.tipped
+    assert untipped.to_bytes() != before  # self absorbed 'only-mine'
+
+
+def test_export_kind_blob_mismatch_detected():
+    """Crossed wires (bloom blob exported as cms) must raise a mismatch
+    error, not silently emit the wrong JVM type; unknown blobs are not
+    misdiagnosed as native-family state."""
+    from stream_lib_spark.sketches.reference_family import (
+        ReferenceFamilyBloom,
+        ReferenceFamilyLC,
+    )
+    from stream_lib_spark.sketches.wire_export import to_reference_wire
+
+    bloom_blob = ReferenceFamilyBloom(n_elements=50, fpp=0.05).to_bytes()
+    with pytest.raises(ValueError, match="kind/blob mismatch"):
+        to_reference_wire("cms", bloom_blob)
+    lc_blob = ReferenceFamilyLC(size=64).to_bytes()
+    with pytest.raises(ValueError, match="kind/blob mismatch"):
+        to_reference_wire("loglog", lc_blob)
+    # adaptive state IS exportable under the 'loglog' umbrella kind
+    from stream_lib_spark.sketches.reference_family import ReferenceFamilyAdaptiveCounting
+
+    alc = ReferenceFamilyAdaptiveCounting(k=5)
+    assert to_reference_wire("loglog", alc.to_bytes()) == alc.to_reference_bytes()
+
+
+def test_cli_rejects_unmappable_reference_params(tmp_path):
+    """--wire-format reference with native-vocabulary params
+    (linearcounting max_n) fails fast at the CLI, not inside an
+    executor."""
+    from stream_lib_spark.jobs.run_sketches import main
+
+    with pytest.raises(SystemExit):
+        main(["--input", "/root/testdata/sf0.001/events.parquet",
+              "--ops", "linearcounting:user_id:max_n=200000",
+              "--output", str(tmp_path / "x"), "--cpus", "2",
+              "--wire-format", "reference"])
+
+
+def test_streaming_trigger_flags_mutually_exclusive(tmp_path):
+    from stream_lib_spark.agg import SketchSpec
+    from stream_lib_spark.streaming import streaming_sketch_query
+
+    with pytest.raises(ValueError, match="trigger_available_now=False"):
+        streaming_sketch_query(None, "c", SketchSpec("hll", p=8),
+                               str(tmp_path / "s"), str(tmp_path / "c"),
+                               processing_time="1 seconds")
