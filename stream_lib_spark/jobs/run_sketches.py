@@ -55,6 +55,10 @@ def parse_op(op: str):
                     params[k] = v
     if kind == "topk":
         kind = "spacesaving"
+    if kind == "hllc":
+        # classic HyperLogLog exists only as a reference-family build
+        # (native classic shape is hll with sp=0); the CLI implies it
+        params.setdefault("hash_family", "reference")
     return f"{kind}_{col}", col, SketchSpec(kind, **params)
 
 

@@ -132,3 +132,22 @@ def test_cli_wire_format_rejects_unsound_kinds(tmp_path):
               "--ops", "kll:value:k=200",
               "--output", str(tmp_path / "x"), "--cpus", "4",
               "--wire-format", "reference"])
+
+
+def test_cli_hllc_op(spark, tmp_path):
+    """The 'hllc' op (classic HyperLogLog, reference-family-only) works
+    end-to-end from the CLI; with --wire-format reference the output is
+    the packed 5-bit RegisterSet blob the JVM class deserializes."""
+    from stream_lib_spark.jobs.run_sketches import main
+    from stream_lib_spark.sketches.loglog_wire import ReferenceHyperLogLog
+
+    out = tmp_path / "hllc_out"
+    main(["--input", f"{SF}/events.parquet",
+          "--ops", "hllc:user_id:log2m=10",
+          "--output", str(out), "--cpus", "4",
+          "--wire-format", "reference"])
+    row = spark.read.parquet(str(out)).collect()[0]
+    sk = ReferenceHyperLogLog.from_bytes(bytes(row["hllc_user_id"]))
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    exact = ev.select("user_id").distinct().count()
+    assert abs(sk.cardinality() - exact) <= max(0.35 * exact, 5)
