@@ -223,7 +223,10 @@ def _prepare_input(df: DataFrame, keys: list[str], col: str, spec: SketchSpec,
         # murmur parity mode: ship raw strings, hash vectorized in numpy
         return df.select(*kc, F.col(col).cast("string").alias("__in")), True
     if mode == "value":
-        return df.select(*kc, F.col(col).cast("double").alias("__in")), False
+        # try_cast like the ivalue path: under ANSI mode (Spark 4
+        # default) a malformed string would otherwise abort the job
+        cast_col = F.col(col).try_cast("double")
+        return df.where(cast_col.isNotNull()).select(*kc, cast_col.alias("__in")), False
     if mode == "ivalue":
         # mask on the CAST: a failed long cast is null too, and a null in
         # a keyed batch would flip the pandas column to float64
@@ -435,17 +438,6 @@ def merge_partials(partials: DataFrame, keys: list[str], spec: SketchSpec,
         fan_in = None if keys else _auto_fan_in(_estimate_partitions(partials))
     key_fields = [partials.schema[k] for k in keys]
     out_schema = T.StructType(key_fields + [T.StructField(STATE_COL, T.BinaryType())])
-
-    def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        blobs = pdf[STATE_COL]
-        sk = sketch_from_bytes(blobs.iloc[0])
-        for b in blobs.iloc[1:]:
-            sk.merge(sketch_from_bytes(b))
-        if finalize_compress and isinstance(sk, (TDigest, KLL)):
-            sk.compress()
-        head = pdf[keys].iloc[:1].reset_index(drop=True) if keys else pd.DataFrame(index=[0])
-        head[STATE_COL] = [sk.to_bytes()]
-        return head
 
     if fan_in:
         bucket = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(fan_in)).alias("__bkt")

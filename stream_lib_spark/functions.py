@@ -80,8 +80,9 @@ def approx_topk(df: DataFrame, col: str, k: int, capacity: int | None = None,
                 rows.append(list(kvals) + [str(item), cnt, err, i])
         return pd.DataFrame(rows, columns=keys + ["item", "count", "error", "rank"])
 
-    if keys:
-        return merged.groupBy(*keys).applyInPandas(explode_topk, T.StructType(out_fields))
+    # merged already has exactly ONE row per key, so the keyed case needs
+    # no extra shuffle or per-group Arrow round trip either — explode_topk
+    # iterates rows, so one mapInPandas stream per partition covers both
     return merged.mapInPandas(lambda it: (explode_topk(pdf) for pdf in it), T.StructType(out_fields))
 
 
@@ -93,13 +94,25 @@ def cms_frequencies(df: DataFrame, col: str, probe_items: list, eps: float = 1e-
     spark = df.sparkSession
     cms = collect_sketch(sketch_agg(df, [], col, SketchSpec("cms", eps=eps, confidence=confidence), **kw))
     probes = spark.createDataFrame([(str(i),) for i in probe_items], ["item"])
-    # hash probe items the same way the update path hashed df[col]
+    # hash probe items the same way the update path hashed df[col]; a
+    # probe that cannot cast to the column's type can never equal any
+    # item of the column, so its exact count is 0 — report that instead
+    # of probing at the pseudo-hash of NULL (every uncastable probe
+    # would otherwise alias to xxhash64(NULL) and share a garbage count)
     field = dict(df.dtypes)[col]
-    hashed = probes.select("item", F.xxhash64(F.col("item").cast(field)).alias("h")).collect()
+    cast_col = F.col("item").try_cast(field)
+    hashed = probes.select(
+        "item", F.when(cast_col.isNotNull(), F.xxhash64(cast_col)).alias("h")
+    ).collect()
     import numpy as np
 
     items = [r["item"] for r in hashed]
-    est = cms.estimate_hashed(np.array([r["h"] for r in hashed], dtype=np.int64))
+    hs = [r["h"] for r in hashed]
+    valid = np.array([h is not None for h in hs], dtype=bool)
+    est = np.zeros(len(items), dtype=np.int64)
+    if valid.any():
+        est[valid] = cms.estimate_hashed(
+            np.array([h for h in hs if h is not None], dtype=np.int64))
     return spark.createDataFrame(list(zip(items, [int(e) for e in est])), ["item", "est_count"])
 
 
@@ -178,7 +191,12 @@ def cms_frequencies_df(df: DataFrame, col: str, probes: DataFrame,
         return pd.Series(sk.estimate_hashed(h.to_numpy().astype(np.int64)).astype(np.int64))
 
     field = dict(df.dtypes)[col]
-    return probes.withColumn("est_count", est(F.xxhash64(F.col(probe_col).cast(field))))
+    # null / uncastable probes get a NULL estimate, not the count at the
+    # pseudo-hash of NULL (the build path dropped nulls, so membership
+    # of such probes is undefined/zero, never hash(NULL)'s bucket)
+    cast_col = F.col(probe_col).try_cast(field)
+    return probes.withColumn(
+        "est_count", F.when(cast_col.isNotNull(), est(F.xxhash64(cast_col))))
 
 
 def bloom_build(df: DataFrame, col: str, n_elements: int, fpp: float = 0.01, **kw):
@@ -228,6 +246,11 @@ def bloom_probe(bf, df: DataFrame, col: str) -> DataFrame:
     """Probe a DataFrame column against a driver-side Bloom filter →
     adds boolean ``might_contain`` (JVM-side xxhash64 + Arrow batch probe).
 
+    The probe column's TYPE must match the build column's type —
+    ``xxhash64`` is type-sensitive (``hash(1 AS INT) != hash(1 AS
+    BIGINT)``); cast the probe column first if they differ
+    (``cms_frequencies_df`` does this internally via the source df).
+
     The filter blob ships via ``SparkContext.broadcast`` — once per
     executor, torrent-distributed — NOT in the UDF closure, which would
     re-serialize it with every task (a 20M-element filter is ~24 MB).
@@ -248,7 +271,11 @@ def bloom_probe(bf, df: DataFrame, col: str) -> DataFrame:
         filt = _parsed_sketch(tok, bc, BloomFilter.from_bytes)
         return pd.Series(filt.contains_hashed(h.to_numpy().astype(np.int64)))
 
-    return df.withColumn("might_contain", probe(F.xxhash64(F.col(col))))
+    # NULL probe values were never added (the build path drops nulls),
+    # so answer NULL, not the bit pattern at xxhash64(NULL)
+    return df.withColumn(
+        "might_contain",
+        F.when(F.col(col).isNotNull(), probe(F.xxhash64(F.col(col)))))
 
 
 def _bloom_clear_cache(destroy: bool = False) -> int:

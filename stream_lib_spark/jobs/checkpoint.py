@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F, types as T
 
 from ..agg import STATE_COL, SketchSpec, sketch_from_bytes
+from ..sketches.kll import KLL
 from ..sketches.tdigest import TDigest
 
 
@@ -116,11 +117,11 @@ class CheckpointedSketchJob:
         )
 
         def build(pdf: pd.DataFrame) -> pd.DataFrame:
-            t0 = time.time()
             bucket = int(pdf["__bucket"].iloc[0])
             rows = []
             groups = pdf.groupby(keys, dropna=False, sort=True) if keys else [((), pdf)]
             for key, sub in groups:
+                t0 = time.time()  # per-KEY wall, not cumulative since bucket start
                 sk = _update_from_pdf(spec, sub["__in"])
                 blob = sk.to_bytes()
                 rows.append(
@@ -129,13 +130,32 @@ class CheckpointedSketchJob:
                     + [blob, len(sub), hashlib.sha256(blob).hexdigest(),
                        int((time.time() - t0) * 1000)]
                 )
-            if not rows and not keys:
-                blob = spec.new().to_bytes()
-                rows = [[bucket, blob, 0, hashlib.sha256(blob).hexdigest(), 0]]
             return pd.DataFrame(rows, columns=["bucket"] + keys + [STATE_COL, "rows_seen", "state_sha256", "wall_ms"])
 
         partials = prepared.groupBy("__bucket").applyInPandas(build, schema=out_schema)
         partials.write.mode("append").parquet(self.partials_path)
+        # buckets with ZERO matching rows produce no applyInPandas group
+        # and hence no partial row — without a marker they would never be
+        # "done" and every resume would re-scan the full input for them
+        # forever.  Append an empty-sketch marker row (rows_seen=0, keys
+        # null) for each; the keyed final_merge filters markers out, the
+        # global path folds them as the monoid identity.
+        covered = self._done_buckets()
+        missing = [b for b in todo if b not in covered]
+        if missing:
+            blob = spec.new().to_bytes()
+            digest = hashlib.sha256(blob).hexdigest()
+            marker_rows = [
+                tuple([b] + [None] * len(keys) + [blob, 0, digest, 0])
+                for b in missing
+            ]
+            # key fields may be non-nullable in the source schema; the
+            # markers deliberately carry null keys, so relax nullability
+            marker_schema = T.StructType([
+                T.StructField(f.name, f.dataType, True) for f in out_schema.fields
+            ])
+            (self.spark.createDataFrame(marker_rows, schema=marker_schema)
+             .write.mode("append").parquet(self.partials_path))
         return len(todo)
 
     # ------------------------------------------------------------ phase B
@@ -157,7 +177,14 @@ class CheckpointedSketchJob:
             for b in pdf[STATE_COL]:
                 s = sketch_from_bytes(bytes(b))
                 sk = s if sk is None else sk.merge(s)
-            if isinstance(sk, TDigest):
+            if sk is None:  # empty partials table (nothing built yet)
+                sk = spec.new()
+            if isinstance(sk, (TDigest, KLL)):
+                # same canonicalization as agg.merge_partials: KLL's
+                # level-0 array is in fold order, so skipping compress()
+                # here would make the final bytes (and state_sha256)
+                # depend on shuffle arrival — breaking the byte-identical
+                # resume contract for quantile sketches
                 sk.compress()
             head = pdf[keys].iloc[:1].reset_index(drop=True) if keys else pd.DataFrame(index=[0])
             head[STATE_COL] = [sk.to_bytes()]
@@ -165,10 +192,17 @@ class CheckpointedSketchJob:
             return head
 
         if keys:
-            return partials.groupBy(*keys).applyInPandas(merge_fn, schema=out_schema)
-        return partials.repartition(1).mapInPandas(
-            lambda it: iter([merge_fn(pd.concat(list(it)))]), schema=out_schema
-        )
+            # drop the empty-bucket marker rows (null keys, rows_seen=0):
+            # they exist only to mark lineage coverage, not key groups
+            real = partials.where(F.col("rows_seen") > 0)
+            return real.groupBy(*keys).applyInPandas(merge_fn, schema=out_schema)
+        def merge_stream(it):
+            batches = list(it)
+            pdf = (pd.concat(batches) if batches
+                   else pd.DataFrame(columns=["bucket", STATE_COL, "rows_seen"]))
+            yield merge_fn(pdf)
+
+        return partials.repartition(1).mapInPandas(merge_stream, schema=out_schema)
 
     def run(self, df: DataFrame) -> DataFrame:
         """Build any missing partials, then merge. Safe to re-invoke

@@ -173,3 +173,40 @@ def test_bottomk_overlap_planted():
     est = bottomk_overlap_estimate(sa, sb)
     assert est["union"] == 150.0 and est["intersection"] == 50.0
     assert abs(est["jaccard"] - 50 / 150) < 1e-12
+
+
+def test_bloom_probe_null_values_answer_null(spark):
+    """NULL probe rows answer NULL (the build dropped nulls), never the
+    bit pattern at xxhash64(NULL)."""
+    from stream_lib_spark.functions import bloom_build, bloom_probe
+
+    src = spark.createDataFrame([(i,) for i in range(100)], ["v"])
+    bf = bloom_build(src, "v", n_elements=128, fpp=0.01)
+    # NOTE: probe column type must match the BUILD column type —
+    # xxhash64 is type-sensitive (hash(int 1) != hash(bigint 1))
+    probes = spark.createDataFrame([(1,), (None,), (999999,)], "v long")
+    got = {r["v"]: r["might_contain"] for r in bloom_probe(bf, probes, "v").collect()}
+    assert got[1] is True
+    assert got[None] is None
+    assert got[999999] in (False, True)  # fpp-bounded, usually False
+
+
+def test_cms_probe_uncastable_and_null(spark):
+    """Uncastable string probes against a numeric-column CMS report 0
+    (they can never equal a column item); DataFrame probes with NULL
+    report NULL."""
+    from pyspark.sql import functions as F
+
+    from stream_lib_spark.functions import cms_frequencies, cms_frequencies_df
+
+    src = spark.createDataFrame([(i % 10,) for i in range(1000)], ["v"])
+    out = {r["item"]: r["est_count"]
+           for r in cms_frequencies(src, "v", ["3", "abc", "xyz"], eps=1e-3).collect()}
+    assert out["3"] >= 100
+    assert out["abc"] == 0 and out["xyz"] == 0
+
+    probes = spark.createDataFrame([("3",), (None,), ("abc",)], "item string")
+    got = {r["item"]: r["est_count"]
+           for r in cms_frequencies_df(src, "v", probes, "item", eps=1e-3).collect()}
+    assert got["3"] >= 100
+    assert got[None] is None and got["abc"] is None

@@ -130,3 +130,83 @@ def test_qdigest_checkpoint_resume_byte_identical(spark, tmp_path):
     b = job("qd-clean")
     clean = bytes(b.run(cents).collect()[0]["sketch"])
     assert interrupted == clean
+
+
+def test_empty_buckets_marked_done_and_resume_converges(spark, tmp_path):
+    """A table with fewer rows than buckets: every bucket (including the
+    empty ones) is marked done after one pass, so the next invocation
+    has NO work — the resume done-set converges instead of re-scanning
+    empty buckets forever."""
+    from stream_lib_spark.agg import SketchSpec
+    from stream_lib_spark.jobs.checkpoint import CheckpointedSketchJob
+
+    df = spark.range(0, 20).selectExpr("id AS event_id", "id % 7 AS user_id")
+    job = CheckpointedSketchJob(
+        spark=spark, spec=SketchSpec("hll", p=10), col="user_id",
+        n_buckets=64, checkpoint_dir=str(tmp_path / "ckpt"),
+        snapshot_id="snap-sparse", bucket_cols=["event_id"])
+    assert job.build_partials(df) == 64
+    assert job.build_partials(df) == 0  # done-set converged
+    out = job.final_merge().collect()[0]
+    from stream_lib_spark.agg import sketch_from_bytes
+
+    assert round(sketch_from_bytes(bytes(out["sketch"])).cardinality()) == 7
+    assert out["rows_seen"] == 20
+
+
+def test_keyed_markers_do_not_leak_null_key_rows(spark, tmp_path):
+    """Keyed job over a sparse table: empty-bucket lineage markers must
+    not surface as a null-key output group."""
+    from stream_lib_spark.agg import SketchSpec, sketch_from_bytes
+    from stream_lib_spark.jobs.checkpoint import CheckpointedSketchJob
+
+    df = spark.range(0, 30).selectExpr(
+        "id AS event_id", "id % 5 AS user_id",
+        "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS grp")
+    job = CheckpointedSketchJob(
+        spark=spark, spec=SketchSpec("hll", p=10), col="user_id",
+        keys=["grp"], n_buckets=32, checkpoint_dir=str(tmp_path / "ckpt"),
+        snapshot_id="snap-keyed-sparse", bucket_cols=["event_id"])
+    rows = {r["grp"]: r for r in job.run(df).collect()}
+    assert set(rows) == {"a", "b"}  # no None group from markers
+    assert job.build_partials(df) == 0
+
+
+def test_kll_checkpoint_byte_deterministic(spark, tmp_path):
+    """KLL through the checkpoint path: two independent runs over the
+    same data land on byte-identical final state (finalize compression
+    canonicalizes level 0 — the north-rule contract for quantile
+    sketches)."""
+    from stream_lib_spark.agg import SketchSpec, sketch_from_bytes
+    from stream_lib_spark.jobs.checkpoint import CheckpointedSketchJob
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+    def run(snap):
+        job = CheckpointedSketchJob(
+            spark=spark, spec=SketchSpec("kll", k=128), col="value",
+            n_buckets=16, checkpoint_dir=str(tmp_path / "ckpt"),
+            snapshot_id=snap, bucket_cols=["event_id"])
+        return bytes(job.run(ev.where(ev.value.isNotNull())).collect()[0]["sketch"])
+
+    b1, b2 = run("kll-a"), run("kll-b")
+    assert b1 == b2
+    sk = sketch_from_bytes(b1)
+    assert 0 < sk.quantile(0.5) or sk.quantile(0.5) <= 0  # parses + answers
+
+
+def test_empty_input_yields_empty_sketch_row(spark, tmp_path):
+    """run() over an empty table returns one row with the monoid
+    identity, not a crash (the keyed variant returns zero key rows)."""
+    from stream_lib_spark.agg import SketchSpec, sketch_from_bytes
+    from stream_lib_spark.jobs.checkpoint import CheckpointedSketchJob
+
+    empty = spark.range(0).selectExpr("id AS event_id", "id AS user_id")
+    job = CheckpointedSketchJob(
+        spark=spark, spec=SketchSpec("hll", p=10), col="user_id",
+        n_buckets=8, checkpoint_dir=str(tmp_path / "ckpt"),
+        snapshot_id="snap-empty", bucket_cols=["event_id"])
+    out = job.run(empty).collect()
+    assert len(out) == 1
+    assert sketch_from_bytes(bytes(out[0]["sketch"])).cardinality() == 0
+    assert out[0]["rows_seen"] == 0
