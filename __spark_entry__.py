@@ -1674,7 +1674,8 @@ _QUALITY_SQL = (
     "(CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 20 THEN 1.0 ELSE 0.0 END"
     " + CASE WHEN ("
     + " + ".join(
-        f"CASE WHEN lower(text) LIKE '% {w} %' THEN 1 ELSE 0 END" for w in _STOPWORDS_SQL
+        f"CASE WHEN ' ' || lower(text) || ' ' LIKE '% {w} %' THEN 1 ELSE 0 END"
+        for w in _STOPWORDS_SQL
     )
     + ") >= 2 THEN 1.0 ELSE 0.0 END"
     " - CASE WHEN length(lower(text)) > 0 THEN"
@@ -1947,7 +1948,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "token_stats": (
             "SELECT lang, COUNT(*) AS n_docs, "
-            "CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens "
+            "CAST(SUM(CASE WHEN trim(text) = '' THEN 0 "
+            "ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) "
+            "AS total_tokens "
             "FROM documents GROUP BY lang ORDER BY lang"
         ),
         "quality_buckets": (

@@ -69,6 +69,10 @@ def brute_force_topk(corpus: DataFrame, queries: list[tuple[int, list[float]]], 
             out_q, out_n, out_s = [], [], []
             for qi in range(len(q_ids)):
                 idx = top[qi]
+                # drop the -inf self-mask rows rather than emit them:
+                # with fewer than k non-self candidates the masked self
+                # entry would otherwise survive the global rank
+                idx = idx[np.isfinite(sims[qi, idx])]
                 out_q.extend([q_ids[qi]] * len(idx))
                 out_n.extend(ids[idx].tolist())
                 out_s.extend(sims[qi, idx].tolist())
@@ -200,10 +204,14 @@ def ivf_centroids_refined(corpus: DataFrame, n_lists: int, dim: int,
     ``n_lists`` aggregate rows ever reach the driver.  Empty lists keep
     their previous centroid."""
     cents = ivf_centroids(corpus, n_lists, id_col, vec_col)
-    q = F.transform(
-        F.col(vec_col).cast("array<double>"),
-        lambda x: F.round(x * float(_KMEANS_SCALE)).cast("long"),
-    )
+    # SPHERICAL k-means: assignment is argmax-cosine over normalized
+    # vectors, so the Lloyd update must average normalized vectors too —
+    # summing raw vectors would let one high-norm vector drag a centroid
+    # off the cluster direction on heterogeneous-norm corpora
+    vec = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
+    unit = F.transform(vec, lambda x: F.when(norm > 0, x / norm).otherwise(x))
+    q = F.transform(unit, lambda x: F.round(x * float(_KMEANS_SCALE)).cast("long"))
     for _ in range(max(0, refine_iters)):
         assigned = ivf_assign(corpus, cents, vec_col).select(
             "list_id", q.alias("__q"))
@@ -308,15 +316,24 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 def ivf_candidate_count(corpus: DataFrame, queries: DataFrame,
                         n_lists: int = 16, n_probe: int = 8,
-                        id_col: str = "vec_id", vec_col: str = "embedding") -> int:
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        refine_iters: int = 0, dim: int | None = None) -> int:
     """Deterministic WORK counter for ``ivf_topk``: the exact number of
     corpus rows the probe join scans (``sum over (query, probed list)
     of list size``, before the self-pair filter) — the same centroids,
     assignment, and probe selection as ``ivf_topk``, but aggregated to
     one number instead of joined.  At 10x corpus with the probed
     fraction held at n_probe/n_lists this must grow ~10x; wall-clock
-    noise cannot touch it."""
-    cents = ivf_centroids(corpus, n_lists, id_col, vec_col)
+    noise cannot touch it.  Pass the SAME refine_iters/dim as the
+    ivf_topk run being measured, or the counter describes a different
+    index layout than the one executed."""
+    if refine_iters > 0:
+        if dim is None:
+            raise ValueError("refine_iters > 0 requires dim")
+        cents = ivf_centroids_refined(corpus, n_lists, dim, refine_iters,
+                                      id_col, vec_col)
+    else:
+        cents = ivf_centroids(corpus, n_lists, id_col, vec_col)
     sizes = (
         ivf_assign(corpus, cents, vec_col)
         .groupBy("list_id")

@@ -49,8 +49,10 @@ def exact_dedup_stats(docs: DataFrame) -> DataFrame:
 
 
 def token_count(col="text"):
-    """Whitespace token count (JVM-side)."""
-    return F.size(F.split(F.trim(F.col(col)), r"\s+"))
+    """Whitespace token count (JVM-side).  Empty / whitespace-only text
+    counts 0 — split('') returns [''], which would phantom-count 1."""
+    trimmed = F.trim(F.col(col))
+    return F.when(trimmed == "", 0).otherwise(F.size(F.split(trimmed, r"\s+")))
 
 
 def token_stats(docs: DataFrame) -> DataFrame:
@@ -77,8 +79,9 @@ def quality_score(col="text"):
     t = F.lower(F.col(col))
     n_chars = F.length(t)
     n_tok = token_count(col)
+    padded = F.concat(F.lit(" "), t, F.lit(" "))  # boundary words count too
     stop_hits = sum(
-        (F.when(t.like(f"% {w} %"), 1).otherwise(0)) for w in _STOPWORDS
+        (F.when(padded.like(f"% {w} %"), 1).otherwise(0)) for w in _STOPWORDS
     )
     punct = F.length(F.regexp_replace(t, r"[^!-/:-@\[-`{-~]", ""))
     return (
@@ -281,6 +284,14 @@ def _banded_keys(sigs: DataFrame, num_hashes: int, bands: int,
     """Explode signatures to (id[, signature], band, bh) LSH band keys —
     the single definition of the banding scheme, shared by the pair
     joins AND the deterministic work counter so they can never drift."""
+    if bands <= 0 or bands > num_hashes or num_hashes % bands:
+        # bands > num_hashes would make every band hash an EMPTY slice
+        # (one global bucket -> the self-join degenerates to N^2); a
+        # non-divisor silently ignores the signature tail and falsifies
+        # the documented (1-s^r)^bands miss probability
+        raise ValueError(
+            f"bands must divide num_hashes (got bands={bands}, "
+            f"num_hashes={num_hashes})")
     rows_per_band = num_hashes // bands
     cols = [id_col] + (["signature"] if with_signature else [])
     return sigs.select(
@@ -434,7 +445,16 @@ def simhash_near_dups(docs: DataFrame, hamming_max: int = 3,
     """Near-dup pairs with Hamming(simhash) <= hamming_max, using the
     4-block pigeonhole trick: any pair within distance 3 agrees on at
     least one of four 16-bit blocks → block-equality self-join buckets
-    candidates, exact popcount verifies (no cross product)."""
+    candidates, exact popcount verifies (no cross product).
+
+    ``hamming_max`` is capped at 3 BY CONSTRUCTION: with 4 blocks a
+    distance-4 pair can differ in every block and never share a bucket,
+    so accepting a larger threshold would silently drop qualifying
+    pairs — raise instead (a larger radius needs more blocks)."""
+    if hamming_max > 3:
+        raise ValueError(
+            f"hamming_max={hamming_max} exceeds the 4-block pigeonhole "
+            "guarantee (recall is only complete for distance <= 3)")
     sh = _materialize_once(simhash64(docs, id_col, text_col, word_hash))
     blocks = sh.select(
         id_col,
