@@ -53,6 +53,10 @@ class BloomFilter:
                  count: int = 0):
         if m_bits % 8:
             m_bits += 8 - m_bits % 8
+        if not 0 <= seed < (1 << 32):
+            # the wire format packs the seed as u32; fail at construction
+            # instead of mid-job when the partial state serializes
+            raise ValueError(f"seed must be in [0, 2^32) (got {seed})")
         self.m_bits = m_bits
         self.k = k
         self.seed = seed

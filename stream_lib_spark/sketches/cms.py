@@ -128,6 +128,10 @@ class CountMinSketch:
     def merge(self, other: "CountMinSketch") -> "CountMinSketch":
         if (self.depth, self.width, self.seed) != (other.depth, other.width, other.seed):
             raise SketchMergeError("CMS depth/width/seed mismatch — cannot merge")
+        if self.conservative != other.conservative:
+            # mixed flags would make the merged flag (and future update
+            # behavior + bytes) depend on merge order
+            raise SketchMergeError("CMS conservative-flag mismatch — cannot merge")
         # Merge is plain + even for conservative sketches (the reference
         # has no conservative merge either; sum preserves no-undercount).
         self.table += other.table

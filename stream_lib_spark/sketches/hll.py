@@ -156,6 +156,12 @@ class HllPlusPlus:
             raise SketchMergeError(
                 f"HLL++ p/sp mismatch: ({self.p},{self.sp}) vs ({other.p},{other.sp})"
             )
+        if self.estimator != other.estimator:
+            # a silent mix would make the merged flag (bytes AND the
+            # estimate formula) depend on merge ORDER — same contract as
+            # LogLog's adaptive-flag check
+            raise SketchMergeError(
+                f"HLL++ estimator mismatch: {self.estimator} vs {other.estimator}")
         if self.fmt == FORMAT_DENSE and other.fmt == FORMAT_DENSE:
             np.maximum(self.registers, other.registers, out=self.registers)
         elif self.fmt == FORMAT_SPARSE and other.fmt == FORMAT_SPARSE:
@@ -178,7 +184,10 @@ class HllPlusPlus:
     def cardinality(self) -> float:
         if self.fmt == FORMAT_SPARSE:
             m_sp = 1 << self.sp
-            v = len(np.unique(self.sparse >> U64(_RHO_BITS)))
+            # self.sparse is always a _sparse_union output: exactly one
+            # code per idx_sp, so the distinct-index count is just the
+            # length (no O(n log n) re-sort per estimate)
+            v = len(self.sparse)
             if v == 0:
                 return 0.0
             return _linear_counting(m_sp, m_sp - v)

@@ -122,7 +122,11 @@ class QDigest:
         ids, counts = self.ids, self.counts
         for level in range(self.log_cap, 0, -1):
             lo = int(np.searchsorted(ids, U64(1) << U64(level)))
-            hi = int(np.searchsorted(ids, U64(1) << U64(level + 1)))
+            # level 63's upper bound 2^64 overflows uint64 (1<<64 == 0,
+            # which would empty the slice or crash) — the top level's
+            # nodes simply run to the end of the sorted id array
+            hi = (len(ids) if level >= 63
+                  else int(np.searchsorted(ids, U64(1) << U64(level + 1))))
             if lo == hi:
                 continue
             child_ids = ids[lo:hi]

@@ -134,18 +134,27 @@ class SpaceSaving:
     # ---------------------------------------------------------------- bytes
 
     def to_bytes(self) -> bytes:
+        """Version-2 blob: items carry a TYPE tag (0=str utf-8, 1=int64)
+        so a round trip preserves identity — the v1 codec stringified
+        every key, so a deserialized summary double-tracked non-string
+        items against the original on further updates and silently
+        collapsed ('1' vs 1) on re-serialization."""
         items = sorted(self.counts.items(), key=lambda kv: _key(kv[0]))
-        parts = [pack_header(KIND_SPACESAVING),
+        parts = [pack_header(KIND_SPACESAVING, version=2),
                  struct.pack("<IIq", self.capacity, len(items), self.n)]
         for item, c in items:
-            b = str(item).encode("utf-8")
-            parts.append(struct.pack("<Iqq", len(b), c, self.errors.get(item, 0)))
-            parts.append(b)
+            if isinstance(item, (int, np.integer)) and not isinstance(item, bool)                     and -(1 << 63) <= int(item) < (1 << 63):
+                parts.append(struct.pack("<BIqq", 1, 8, c, self.errors.get(item, 0)))
+                parts.append(struct.pack("<q", int(item)))
+            else:
+                b = str(item).encode("utf-8")
+                parts.append(struct.pack("<BIqq", 0, len(b), c, self.errors.get(item, 0)))
+                parts.append(b)
         return b"".join(parts)
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "SpaceSaving":
-        _, kind = unpack_header(data)
+        version, kind = unpack_header(data)
         if kind != KIND_SPACESAVING:
             raise ValueError(f"not a SpaceSaving blob (kind={kind})")
         capacity, n_items, n = struct.unpack_from("<IIq", data, HEADER_SIZE)
@@ -153,9 +162,18 @@ class SpaceSaving:
         sk = cls(capacity)
         sk.n = n
         for _ in range(n_items):
-            blen, c, e = struct.unpack_from("<Iqq", data, off)
-            off += struct.calcsize("<Iqq")
-            item = data[off: off + blen].decode("utf-8")
+            if version >= 2:
+                tag, blen, c, e = struct.unpack_from("<BIqq", data, off)
+                off += struct.calcsize("<BIqq")
+            else:  # legacy v1: untagged utf-8 strings
+                tag = 0
+                blen, c, e = struct.unpack_from("<Iqq", data, off)
+                off += struct.calcsize("<Iqq")
+            if tag == 1:
+                (item,) = struct.unpack_from("<q", data, off)
+                item = int(item)
+            else:
+                item = data[off: off + blen].decode("utf-8")
             off += blen
             sk.counts[item] = c
             sk.errors[item] = e

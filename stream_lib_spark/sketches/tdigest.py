@@ -70,6 +70,9 @@ class TDigest:
         v = v[~np.isnan(v)]
         if len(v) == 0:
             return self
+        v = v + 0.0  # canonicalize -0.0 → +0.0: vmin and the stable
+        # sort are bitwise order-sensitive for the two equal zeros, so
+        # skipping this breaks byte-commutative merges (KLL does the same)
         v = np.sort(v)
         self.vmin = min(self.vmin, float(v[0]))
         self.vmax = max(self.vmax, float(v[-1]))

@@ -244,3 +244,72 @@ def test_reference_family_merge_byte_identity(a, b, c, kind):
         _ref_update(new(), a)).to_bytes()
     single = _ref_update(new(), a + b + c).to_bytes()
     assert ab_c == a_bc == cba == single
+
+
+# ------------------------------------------ kernel-review regressions (r5)
+
+def test_tdigest_negative_zero_byte_commutative():
+    """-0.0 inputs canonicalize to +0.0, so merge stays byte-commutative
+    (vmin and the stable sort are bitwise order-sensitive otherwise)."""
+    a = TDigest(compression=50.0)
+    a.add_values(np.array([-0.0, 1.0]))
+    b = TDigest(compression=50.0)
+    b.add_values(np.array([0.0, 2.0]))
+    ab = TDigest.from_bytes(a.to_bytes()).merge(TDigest.from_bytes(b.to_bytes())).to_bytes()
+    ba = TDigest.from_bytes(b.to_bytes()).merge(TDigest.from_bytes(a.to_bytes())).to_bytes()
+    assert ab == ba
+
+
+def test_flag_mismatch_merges_raise():
+    """Estimator/conservative flags must match at merge time — a silent
+    mix would make the merged flag (bytes + future behavior) depend on
+    merge order."""
+    import pytest
+
+    from stream_lib_spark.sketches.base import SketchMergeError
+
+    e = HllPlusPlus(p=8, sp=0, estimator="ertl")
+    c = HllPlusPlus(p=8, sp=0, estimator="classic")
+    with pytest.raises(SketchMergeError):
+        e.merge(c)
+    p1 = CountMinSketch(depth=4, width=64, conservative=False)
+    p2 = CountMinSketch(depth=4, width=64, conservative=True)
+    with pytest.raises(SketchMergeError):
+        p1.merge(p2)
+
+
+def test_spacesaving_int_items_round_trip():
+    """v2 type-tagged blobs: int items survive a round trip as ints, so
+    deserialize-then-update never double-tracks 1 vs '1'."""
+    from stream_lib_spark.sketches.spacesaving import SpaceSaving
+
+    s = SpaceSaving(4)
+    s.update_batch(np.array([1, 2, 3], dtype=object), np.array([10, 5, 3]))
+    s2 = SpaceSaving.from_bytes(s.to_bytes())
+    assert set(s2.counts) == {1, 2, 3}
+    s2.update_batch(np.array([1, 2, 3], dtype=object), np.array([10, 5, 3]))
+    assert s2.counts[1] == 20 and len(s2.counts) == 3
+    assert SpaceSaving.from_bytes(s2.to_bytes()).counts[1] == 20
+
+
+def test_bloom_seed_range_validated():
+    import pytest
+
+    with pytest.raises(ValueError, match="seed"):
+        BloomFilter(m_bits=512, k=4, seed=-1)
+    with pytest.raises(ValueError, match="seed"):
+        BloomFilter(m_bits=512, k=4, seed=1 << 33)
+
+
+def test_qdigest_top_level_values_compress():
+    """Values >= 2^62 force log_cap=63; the level-63 upper bound must
+    not overflow uint64 (2^64 == 0 would skip or crash compression)."""
+    from stream_lib_spark.sketches.qdigest import QDigest
+
+    q = QDigest(compression_factor=4)
+    q.update_batch(np.arange(2**62, 2**62 + 50, dtype=np.int64), np.ones(50, dtype=np.int64))
+    assert len(q.ids) < 50  # compression actually ran
+    q2 = QDigest(compression_factor=64)
+    q2.update_batch(np.arange(3000, dtype=np.int64), np.ones(3000, dtype=np.int64))
+    q2.update_batch(np.array([2**62 + 7], dtype=np.int64), np.ones(1, dtype=np.int64))
+    assert q2.quantile(0.5) <= 3000  # no IndexError, sane answer
