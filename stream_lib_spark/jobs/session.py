@@ -31,7 +31,11 @@ def package_zip() -> str:
         # inside a spark-submitted driver): that zip is the artifact
         zip_path = pkg_dir
         while zip_path and not zip_path.lower().endswith(".zip"):
-            zip_path = os.path.dirname(zip_path)
+            parent = os.path.dirname(zip_path)
+            if parent == zip_path:  # filesystem root: dirname('/') == '/'
+                zip_path = ""
+                break
+            zip_path = parent
         if zip_path and os.path.isfile(zip_path):
             return zip_path
         raise RuntimeError(f"cannot locate package source at {pkg_dir}")
@@ -43,7 +47,10 @@ def package_zip() -> str:
         if f.endswith(".py")
     )
     if not os.path.exists(out) or os.path.getmtime(out) < newest_src:
-        tmp = out + ".tmp"
+        # per-process temp name: two concurrent drivers rebuilding the
+        # stale zip must not interleave writes into one file before the
+        # atomic publish
+        tmp = f"{out}.{os.getpid()}.tmp"
         with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
             for root, _dirs, files in os.walk(pkg_dir):
                 if "__pycache__" in root:

@@ -29,7 +29,14 @@ def _manifest_dir(table_path: str) -> str:
 def snapshot(table_path: str) -> str:
     """Capture the current file set of a parquet dir as an immutable
     manifest; returns the content-addressed snapshot id (idempotent —
-    the same file set yields the same id)."""
+    an unchanged table yields the same id).  Paths are canonicalized
+    (absolute) so resume from a different cwd reads the same files and
+    't' vs './t' get one id; the digest covers (path, size, mtime_ns),
+    so a same-size in-place rewrite produces a NEW snapshot instead of
+    silently serving new rows under the old id; a missing or fileless
+    table raises HERE, at the cause, not later in read_snapshot."""
+    table_path = os.path.abspath(table_path)
+
     def _committed(paths):
         # in-flight writer artifacts are never part of a snapshot:
         # temp/staging names (*.tmp, .crc dot-files) and _temporary
@@ -44,12 +51,15 @@ def snapshot(table_path: str) -> str:
 
     files = (_committed(glob.glob(os.path.join(table_path, "*.parquet")))
              or _committed(glob.glob(os.path.join(table_path, "part-*"))))
+    if not files:
+        raise FileNotFoundError(
+            f"no committed data files under {table_path!r} — nothing to snapshot")
     entries = [
         {"path": f, "bytes": os.path.getsize(f), "mtime_ns": os.stat(f).st_mtime_ns}
         for f in files
     ]
     digest = hashlib.sha256(
-        json.dumps([(e["path"], e["bytes"]) for e in entries]).encode()
+        json.dumps([(e["path"], e["bytes"], e["mtime_ns"]) for e in entries]).encode()
     ).hexdigest()[:16]
     snap_id = f"snap-{digest}"
     mdir = _manifest_dir(table_path)

@@ -133,10 +133,15 @@ def _decode_audio_stub(payload: bytes, deterministic_fake: bool) -> np.ndarray:
             "audio codecs not installed in this container; "
             "pass deterministic_fake=True or deploy with torchaudio/soundfile"
         )
-    # deterministic fake: view the payload bytes as 16-bit LE amplitudes
+    # deterministic fake: view the payload bytes as 16-bit LE amplitudes;
+    # a null or sub-2-byte payload decodes to one silent sample (the
+    # odd-byte trim must never yield a ZERO-sample waveform — callers
+    # divide by the sample count and take min/max)
     buf = np.frombuffer(payload or b"\0\0", dtype=np.uint8)
     if len(buf) % 2:
         buf = buf[:-1]
+    if len(buf) == 0:
+        buf = np.zeros(2, dtype=np.uint8)
     return buf.view("<u2").astype(np.int64)
 
 
@@ -152,7 +157,10 @@ def extract_audio_features(media: DataFrame, deterministic_fake: bool = True) ->
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                w = _decode_audio_stub(bytes(payload), deterministic_fake)
+                # guard BEFORE bytes(): a null payload must take the
+                # stub's fallback, not TypeError in the executor
+                w = _decode_audio_stub(bytes(payload) if payload is not None else None,
+                                       deterministic_fake)
                 n = len(w)
                 s = int(w.sum())
                 rows.append([int(mid), n, s, int(w.min()), int(w.max()), s / float(n)])

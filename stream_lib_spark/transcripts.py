@@ -92,7 +92,11 @@ def generate_transcripts(spark: SparkSession, n_convs: int = 2000, seed: int = 4
         .withColumn(
             "ts",
             F.timestamp_seconds(
-                F.unix_timestamp(F.lit("2026-01-01 00:00:00")) + start_s + F.col("_off")
+                # numeric epoch of 2026-01-01T00:00:00Z: unix_timestamp on
+                # a string literal parses in the SESSION timezone, which
+                # would shift every ts on a non-UTC session and break the
+                # documented determinism from (n_convs, seed)
+                F.lit(1767225600) + start_s + F.col("_off")
             ),
         )
         .select("conv_id", F.col("turn_idx").cast("int").alias("turn_idx"), "role", "text", "tool", "ts")

@@ -96,3 +96,45 @@ def test_checkpoint_job_pins_its_snapshot(spark, tmp_path, provider):
     after = provider.read_snapshot(spark, t, snap).agg(
         F.count("*"), F.sum("v")).collect()[0]
     assert tuple(before) == tuple(after) == (200, sum(range(200)))
+
+
+def test_inplace_rewrite_changes_snapshot_id(spark, tmp_path, provider):
+    """A same-size in-place rewrite is a NEW snapshot: the digest covers
+    mtimes, so the old id can never silently serve different rows."""
+    import os
+    import time
+
+    t = str(tmp_path / "t6")
+    _write_rows(spark, t, 0, 40)
+    s1 = provider.snapshot(t)
+    part = next(p for p in os.listdir(t) if p.startswith("part-"))
+    path = os.path.join(t, part)
+    data = open(path, "rb").read()
+    time.sleep(0.01)
+    open(path, "wb").write(data)  # same bytes, same size, new mtime
+    s2 = provider.snapshot(t)
+    assert s2 != s1
+
+
+def test_missing_or_empty_table_raises_at_snapshot(tmp_path, provider):
+    with pytest.raises(FileNotFoundError):
+        provider.snapshot(str(tmp_path / "no_such_table"))
+
+
+def test_snapshot_paths_are_cwd_independent(spark, tmp_path, provider):
+    """'t' and './t' (and a later resume from another cwd) resolve to
+    one snapshot id over absolute paths."""
+    import os
+
+    t = tmp_path / "t7"
+    _write_rows(spark, str(t), 0, 25)
+    old_cwd = os.getcwd()
+    try:
+        os.chdir(tmp_path)
+        s1 = provider.snapshot("t7")
+        s2 = provider.snapshot("./t7")
+        assert s1 == s2
+        os.chdir("/")
+        assert provider.read_snapshot(spark, str(t), s1).count() == 25
+    finally:
+        os.chdir(old_cwd)
