@@ -307,6 +307,15 @@ class _JosWriter:
 
 # ------------------------------------------------------------------ public
 
+class JavaLong(int):
+    """An int element that serialized as java.lang.Long: preserves the
+    boxed class across a parse→re-serialize round trip (Integer(5) and
+    Long(5) are DIFFERENT elements to the JVM — Integer(5).equals(
+    Long(5)) is false, so collapsing them double-counts on merge)."""
+
+    __slots__ = ()
+
+
 class ReferenceCTE:
     """Parsed reference CountThenEstimate wire state."""
 
@@ -366,8 +375,9 @@ def parse_reference_bytes(data: bytes) -> ReferenceCTE:
     elements = []
     for _ in range(count):
         el = rd.read_object()
-        if isinstance(el, dict):  # boxed primitive
-            el = el["fields"]["value"]
+        if isinstance(el, dict):  # boxed primitive — keep the class
+            v = el["fields"]["value"]
+            el = JavaLong(v) if el.get("class") == "java.lang.Long" else v
         elements.append(el)
     return ReferenceCTE(False, tipping_point=tipping_point,
                         builder_class=builder["class"], builder_args=builder["fields"],
@@ -389,8 +399,12 @@ def to_reference_bytes(cte: ReferenceCTE) -> bytes:
         if isinstance(el, str):
             wr.write_string(el)
         elif isinstance(el, int):
-            cls = "java.lang.Integer" if -(1 << 31) <= el < (1 << 31) else "java.lang.Long"
-            wr.write_object(cls, {"value": el})
+            # JavaLong round-trips as Long even when it fits in 32 bits
+            if isinstance(el, JavaLong) or not -(1 << 31) <= el < (1 << 31):
+                cls = "java.lang.Long"
+            else:
+                cls = "java.lang.Integer"
+            wr.write_object(cls, {"value": int(el)})
         else:
             raise ValueError(f"unsupported element type {type(el)}")
     return wr.bytes()

@@ -158,6 +158,14 @@ def from_reference_bytes(data: bytes, estimator: str = "ertl") -> HllPlusPlus:
     p, off = _read_varint(data, off)
     sp, off = _read_varint(data, off)
     fmt, off = _read_varint(data, off)
+    if p > 18 or sp > 30:
+        # the reference accepts p up to sp and sp up to 32; this build's
+        # native sketch caps at p<=18 / sp<=30 — name the interop limit
+        # instead of a bare constructor ValueError
+        raise ValueError(
+            f"reference HLL++ blob has p={p}, sp={sp}, outside this "
+            f"library's supported range (p<=18, sp<=30) — re-export from "
+            f"the JVM at a supported precision to migrate this sketch")
     sk = HllPlusPlus(p=p, sp=sp, estimator=estimator,
                      fmt=FORMAT_DENSE if fmt == 0 else FORMAT_SPARSE)
     if fmt == 0:

@@ -160,7 +160,10 @@ class ReferenceLogLog:
     # ------------------------------------------------------------ merge
 
     def merge(self, other: "ReferenceLogLog") -> "ReferenceLogLog":
-        if type(other) is not type(self):
+        # reference semantics (LogLog.java:162): other must be an
+        # INSTANCE of self's class — merging an AdaptiveCounting into a
+        # LogLog is legal (max-registers), the reverse is not
+        if not isinstance(other, type(self)):
             raise SketchMergeError("cannot merge estimators of different class")
         if other.m != self.m:
             raise SketchMergeError("cannot merge estimators of different sizes")
@@ -256,6 +259,11 @@ class ReferenceHyperLogLog:
         estimate = alpha_mm / float(np.sum(np.exp2(-regs)))
         if estimate <= 2.5 * self.m:
             zeros = float(np.count_nonzero(self.registers == 0))
+            if zeros == 0:
+                # replicate the JVM exactly: HyperLogLog.java:188-190 has
+                # no zeros guard — count*log(count/0.0) = Infinity and
+                # Math.round(Infinity) = Long.MAX_VALUE
+                return (1 << 63) - 1
             return math.floor(self.m * math.log(self.m / zeros) + 0.5)
         return math.floor(estimate + 0.5)
 

@@ -41,7 +41,8 @@ from __future__ import annotations
 import pandas as pd
 
 EXPORTABLE = ("hll", "tdigest", "qdigest", "spacesaving", "cms", "bloom",
-              "linearcounting", "loglog", "countthenestimate", "hllc")
+              "linearcounting", "loglog", "adaptivecounting",
+              "countthenestimate", "hllc")
 
 
 def reference_wire_udf(kind: str):
@@ -51,13 +52,17 @@ def reference_wire_udf(kind: str):
 
     @F.pandas_udf(T.BinaryType())
     def conv(blobs: pd.Series) -> pd.Series:
-        return blobs.map(lambda b: to_reference_wire(kind, bytes(b)))
+        # NULL blobs (e.g. from an outer join of sketch tables) pass
+        # through as NULL rather than TypeError-ing deep in the executor
+        return blobs.map(lambda b: None if b is None else to_reference_wire(kind, bytes(b)))
 
     return conv
 
 
 def to_reference_wire(kind: str, blob: bytes) -> bytes:
     """One native sketch blob (our versioned codec) → reference bytes."""
+    if kind == "hll_classic":
+        kind = "hllc"  # import/export use one vocabulary; both accepted
     if kind == "hll":
         from .hll import HllPlusPlus
         from .hll_wire import to_reference_bytes
@@ -170,7 +175,7 @@ def from_reference_wire(kind: str, blob: bytes):
         from .loglog_wire import ReferenceAdaptiveCounting
 
         return ReferenceAdaptiveCounting(blob)
-    if kind == "hll_classic":
+    if kind in ("hll_classic", "hllc"):
         from .loglog_wire import ReferenceHyperLogLog
 
         return ReferenceHyperLogLog.from_bytes(blob)

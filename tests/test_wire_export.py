@@ -99,4 +99,60 @@ def test_unsound_kinds_refused():
             to_reference_wire(kind, blob)
     assert set(EXPORTABLE) == {"hll", "tdigest", "qdigest", "spacesaving",
                                "cms", "bloom", "linearcounting", "loglog",
-                               "countthenestimate", "hllc"}
+                               "adaptivecounting", "countthenestimate", "hllc"}
+
+
+def test_kind_vocabulary_symmetry_and_adaptive():
+    """'hllc' and 'hll_classic' both work in BOTH directions; EXPORTABLE
+    lists every kind to_reference_wire accepts."""
+    import numpy as np
+
+    from stream_lib_spark.sketches.loglog_wire import ReferenceHyperLogLog
+    from stream_lib_spark.sketches.reference_family import (
+        ReferenceFamilyAdaptiveCounting,
+        ReferenceFamilyHLLClassic,
+    )
+
+    sk = ReferenceFamilyHLLClassic(log2m=6)
+    sk.update_batch(np.array([f"x{i}" for i in range(40)], dtype=object))
+    raw1 = to_reference_wire("hllc", sk.to_bytes())
+    raw2 = to_reference_wire("hll_classic", sk.to_bytes())
+    assert raw1 == raw2
+    assert from_reference_wire("hllc", raw1).to_bytes() == raw1
+    assert from_reference_wire("hll_classic", raw1).to_bytes() == raw1
+    assert "adaptivecounting" in EXPORTABLE
+    alc = ReferenceFamilyAdaptiveCounting(k=6)
+    assert to_reference_wire("adaptivecounting", alc.to_bytes()) == alc.to_reference_bytes()
+
+
+def test_hllc_no_zero_registers_matches_jvm_long_max():
+    """Classic-HLL small-range branch with zero empty registers: the JVM
+    returns Math.round(Infinity) = Long.MAX_VALUE, not a crash."""
+    import numpy as np
+
+    from stream_lib_spark.sketches.loglog_wire import ReferenceHyperLogLog
+
+    sk = ReferenceHyperLogLog(4, np.ones(16, dtype=np.uint8))
+    assert sk.cardinality() == (1 << 63) - 1
+
+
+def test_cte_long_elements_round_trip():
+    """java.lang.Long elements re-export as Long (Integer(5) != Long(5)
+    to the JVM), preserving byte round trips of Long-element streams."""
+    from stream_lib_spark.sketches.cte_wire import (
+        JavaLong,
+        ReferenceCTE,
+        parse_reference_bytes,
+        to_reference_bytes,
+    )
+
+    cte = ReferenceCTE(
+        False, tipping_point=100,
+        builder_class="com.clearspring.analytics.stream.cardinality.LinearCounting$Builder",
+        builder_args={"size": 64},
+        elements=[JavaLong(5), 7, "s"])
+    blob = to_reference_bytes(cte)
+    back = parse_reference_bytes(blob)
+    assert isinstance(back.elements[0], JavaLong)
+    assert type(back.elements[1]) is int
+    assert to_reference_bytes(back) == blob  # byte-exact round trip
