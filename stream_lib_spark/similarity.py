@@ -32,6 +32,27 @@ _OUT = T.StructType([
 ])
 
 
+@F.pandas_udf(T.DoubleType())
+def _cos_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Exact cosine of two embedding columns (one normalized GEMM per
+    Arrow batch) — the single verify kernel every candidate path uses."""
+    ma, mb = _normalize(_as_matrix(a)), _normalize(_as_matrix(b))
+    return pd.Series((ma * mb).sum(axis=1))
+
+
+def _global_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Deterministic global top-k per query over scored candidates —
+    ONE definition of the tie-break (cosine desc, neighbor asc) and
+    rounding, so the ANN surfaces cannot drift apart."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 4).alias("cosine"))
+        .orderBy("query_id", "rank")
+    )
+
+
 def _as_matrix(series: pd.Series) -> np.ndarray:
     return np.array([np.asarray(v, dtype=np.float64) for v in series], dtype=np.float64)
 
@@ -144,19 +165,7 @@ def lsh_bucketed_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 
         .dropDuplicates(["query_id", "neighbor_id"])
     )
 
-    @F.pandas_udf(T.DoubleType())
-    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        ma, mb = _normalize(_as_matrix(a)), _normalize(_as_matrix(b))
-        return pd.Series((ma * mb).sum(axis=1))
-
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        joined.withColumn("cosine", cos(F.col("qvec"), F.col("cvec")))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("cosine", 4).alias("cosine"))
-        .orderBy("query_id", "rank")
-    )
+    return _global_topk(joined.withColumn("cosine", _cos_udf(F.col("qvec"), F.col("cvec"))), k)
 
 
 def ivf_centroids(corpus: DataFrame, n_lists: int, id_col: str = "vec_id",
@@ -299,19 +308,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .where(F.col("query_id") != F.col("neighbor_id"))
     )
 
-    @F.pandas_udf(T.DoubleType())
-    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        ma, mb = _normalize(_as_matrix(a)), _normalize(_as_matrix(b))
-        return pd.Series((ma * mb).sum(axis=1))
-
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        cand.withColumn("cosine", cos(F.col("qvec"), F.col("cvec")))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("cosine", 4).alias("cosine"))
-        .orderBy("query_id", "rank")
-    )
+    return _global_topk(cand.withColumn("cosine", _cos_udf(F.col("qvec"), F.col("cvec"))), k)
 
 
 def ivf_candidate_count(corpus: DataFrame, queries: DataFrame,
@@ -371,13 +368,8 @@ def embedding_near_dup_pairs(corpus: DataFrame, dim: int, threshold: float = 0.9
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    @F.pandas_udf(T.DoubleType())
-    def cos(x: pd.Series, y: pd.Series) -> pd.Series:
-        mx, my = _normalize(_as_matrix(x)), _normalize(_as_matrix(y))
-        return pd.Series((mx * my).sum(axis=1))
-
     return (
-        cand.withColumn("cosine", cos("va", "vb"))
+        cand.withColumn("cosine", _cos_udf("va", "vb"))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
         .orderBy("id_a", "id_b")
