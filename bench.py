@@ -150,12 +150,19 @@ def run_scaling() -> dict:
     from tools.bench_scaling_multiproc import INPUT, orchestrate
 
     if not os.path.exists(os.path.join(INPUT, "_SUCCESS")):
-        # materialize the ~10M-turn scaling input once (excluded from timings)
-        from tools.bench_scaling import materialize
+        # materialize the ~10M-turn scaling input in a SUBPROCESS
+        # (excluded from timings): hosting the 16g py4j JVM in THIS
+        # process right before the measurement would contradict the
+        # scaling-runs-first policy — a stopped SparkContext's JVM stays
+        # resident and skews the pinned workers
+        import subprocess
 
-        spark = _session(CPUS)
-        materialize(spark)
-        spark.stop()
+        here = os.path.dirname(os.path.abspath(__file__))
+        r = subprocess.run(
+            [sys.executable, os.path.join(here, "tools", "bench_scaling.py"),
+             "--materialize"], capture_output=True, text=True, timeout=1800)
+        if r.returncode != 0:
+            raise RuntimeError(f"scaling input materialization failed: {r.stderr[-500:]}")
     return orchestrate(levels=(1, 4))
 
 

@@ -29,6 +29,12 @@ PATH_10X = "/tmp/bench_docs10x.parquet"
 REPEATS = 2  # min-of-2 steady state (the trend RATIO is the metric here)
 
 
+#: bump when the BLOW-UP CONSTRUCTION changes (copy count, rewrite
+#: scheme): the cache fingerprint covers the source files only, so a
+#: logic change must invalidate /tmp caches through this version too
+_BLOWUP_VERSION = "10x-tokensuffix-v1"
+
+
 def _source_fingerprint(src_dir: str) -> str:
     """Cheap deterministic fingerprint of a parquet source: sorted
     (name, size, mtime_ns) of its files.  The 10x blow-up cache is keyed
@@ -37,7 +43,7 @@ def _source_fingerprint(src_dir: str) -> str:
     ratio with stale blown-up data."""
     import hashlib
 
-    h = hashlib.md5(src_dir.encode())
+    h = hashlib.md5(f"{_BLOWUP_VERSION}:{src_dir}".encode())
     try:
         if os.path.isdir(src_dir):
             entries = [(n, os.path.join(src_dir, n)) for n in sorted(os.listdir(src_dir))]

@@ -1,17 +1,21 @@
 """Two-parallelism scaling harness (north rule: throughput at N and 4N
-"executors" — local[8] vs local[32] in the sandbox — with efficiency
->= 0.8).
+"executors" — local[4] vs local[16] in the sandbox, the widest pair
+inside the box's memory-bandwidth envelope; see BENCH.md — with
+efficiency >= 0.8).  The primary per-round evidence is the pinned
+multiproc harness (bench_scaling_multiproc.py); this local[K] pair is
+the secondary cross-check.
 
 Each parallelism level runs in its OWN process (fresh JVM: driver
 memory, GC, and master are per-run, so the A/B is fair).  The measured
 job is the transcript sketch pass (HLL distinct conv_id + CMS text
-frequency) over a ~5M-turn synthetic transcript table, after a full
+frequency) over a ~10M-turn synthetic transcript table, after a full
 warm-up pass so Python workers / JIT / page cache are steady-state —
 the cluster-reuse regime the 10^12-turn deployment runs in.
 
 Usage:
-  python tools/bench_scaling.py            # orchestrate both runs, print summary JSON
-  python tools/bench_scaling.py --run 8    # single measured run (internal)
+  python tools/bench_scaling.py                # orchestrate both runs, print summary JSON
+  python tools/bench_scaling.py --run 4        # single measured run (internal)
+  python tools/bench_scaling.py --materialize  # build the input table and exit
 """
 
 from __future__ import annotations
@@ -83,16 +87,33 @@ def orchestrate() -> dict:
             [sys.executable, os.path.abspath(__file__), "--run", str(cpus)],
             capture_output=True, text=True, timeout=1200,
         )
-        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[f"local[{cpus}]"] = json.loads(line)
-    t8, t32 = results["local[4]"]["sec"], results["local[16]"]["sec"]
-    results["speedup_n_to_4n"] = round(t8 / t32, 3)
-    results["scaling_efficiency"] = round((t8 / t32) / 4.0, 3)
+        if out.returncode != 0:
+            raise RuntimeError(
+                f"scaling child local[{cpus}] failed rc={out.returncode}: "
+                f"{out.stderr[-500:]}")
+        lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+        if not lines:
+            raise RuntimeError(
+                f"scaling child local[{cpus}] produced no JSON: {out.stderr[-500:]}")
+        results[f"local[{cpus}]"] = json.loads(lines[-1])
+    t_n, t_4n = results["local[4]"]["sec"], results["local[16]"]["sec"]
+    results["speedup_n_to_4n"] = round(t_n / t_4n, 3)
+    results["scaling_efficiency"] = round((t_n / t_4n) / 4.0, 3)
     return results
 
 
 if __name__ == "__main__":
-    if "--run" in sys.argv:
+    if "--materialize" in sys.argv:
+        # input-table build as its OWN process: bench.py must never host
+        # a JVM before the scaling measurement (a stopped SparkContext's
+        # JVM stays resident and skews the pinned workers)
+        from stream_lib_spark.jobs.session import get_spark
+
+        spark = get_spark("scaling-materialize", cpus=16)
+        materialize(spark)
+        spark.stop()
+        print(json.dumps({"materialized": SCALING_PARQUET}))
+    elif "--run" in sys.argv:
         cpus = int(sys.argv[sys.argv.index("--run") + 1])
         print(json.dumps(single_run(cpus)))
     else:

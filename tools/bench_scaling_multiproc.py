@@ -127,28 +127,43 @@ def run_level(n_workers: int, rounds: int = ROUNDS) -> dict:
         for i in range(n_workers)
     ]
 
+    deadline = time.time() + 1200  # a hung worker must not block forever
+
+    def _check(stage: str) -> None:
+        if any(p.poll() not in (None, 0) for p in procs):
+            raise RuntimeError(f"worker died {stage}")
+        if time.time() > deadline:
+            raise RuntimeError(f"worker timed out {stage} (1200s)")
+
     def _barrier(r: int) -> float:
         while sum(os.path.exists(os.path.join(rundir, f"ready-{i}-r{r}")) for i in range(n_workers)) < n_workers:
             time.sleep(0.2)
-            if any(p.poll() not in (None, 0) for p in procs):
-                raise RuntimeError("worker died before barrier")
+            _check("before barrier")
         t_go = time.time()
         open(os.path.join(rundir, f"go-r{r}"), "w").close()
         return t_go
 
     walls = []
-    for r in range(rounds):
-        t_go = _barrier(r)
-        # wall for round r ends when every worker drops its done marker
-        # (uniform across rounds: excludes result-writing and spark.stop)
-        while sum(os.path.exists(os.path.join(rundir, f"done-{i}-r{r}")) for i in range(n_workers)) < n_workers:
-            time.sleep(0.05)
-            if any(p.poll() not in (None, 0) for p in procs):
-                raise RuntimeError("worker died mid-run")
-        walls.append(round(time.time() - t_go, 3))
-    for p in procs:
-        if p.wait() != 0:
-            raise RuntimeError("worker failed")
+    try:
+        for r in range(rounds):
+            t_go = _barrier(r)
+            # wall for round r ends when every worker drops its done marker
+            # (uniform across rounds: excludes result-writing and spark.stop)
+            while sum(os.path.exists(os.path.join(rundir, f"done-{i}-r{r}")) for i in range(n_workers)) < n_workers:
+                time.sleep(0.05)
+                _check("mid-run")
+            walls.append(round(time.time() - t_go, 3))
+        for p in procs:
+            if p.wait(timeout=max(1.0, deadline - time.time())) != 0:
+                raise RuntimeError("worker failed")
+    except BaseException:
+        # one worker dying/hanging must not leak the survivors: they
+        # spin in the go-file wait loop holding pinned 3g JVMs that
+        # would corrupt every later measurement on these cores
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        raise
     results = []
     total_rows = 0
     for i in range(n_workers):

@@ -68,12 +68,16 @@ def _app_id(port: int) -> str:
     return _api(port, "applications")[0]["id"]
 
 
-def _stage_ids(port: int, app: str) -> set[tuple[int, int]]:
+def _stage_ids(port: int, app: str) -> set[tuple[int, int]] | None:
+    """None (NOT empty set) on a REST failure: a failed BEFORE snapshot
+    must disable attribution for that path — treating it as empty would
+    attribute every historical stage (typically an earlier path's
+    straggler-laden one) to the current path and record wrong evidence."""
     try:
         return {(s["stageId"], s["attemptId"])
                 for s in _api(port, f"applications/{app}/stages")}
     except Exception:
-        return set()
+        return None
 
 
 def _heaviest_stage_tasks(port: int, app: str, new_stages: set[tuple[int, int]]) -> list[float]:
@@ -138,7 +142,12 @@ def orchestrate(spark=None) -> dict:
 
         spark = get_spark("bench-skew", extra_conf={
             "spark.ui.enabled": "true", "spark.ui.port": str(UI_PORT)})
-    port = int(spark.sparkContext.getConf().get("spark.ui.port", str(UI_PORT)))
+    # read the port from the BOUND UI, not the conf: if the requested
+    # port is occupied, Spark binds port+1 via spark.port.maxRetries and
+    # the conf value would point the REST reads at a DIFFERENT app
+    ui_url = spark.sparkContext.uiWebUrl
+    port = (int(ui_url.rsplit(":", 1)[1]) if ui_url
+            else int(spark.sparkContext.getConf().get("spark.ui.port", str(UI_PORT))))
     try:
         app = _app_id(port)
     except Exception:
@@ -152,12 +161,13 @@ def orchestrate(spark=None) -> dict:
     for name, fn in [("row_shuffle", path_row_shuffle),
                      ("row_shuffle_salted", path_row_shuffle_salted),
                      ("two_level", path_two_level)]:
-        before = _stage_ids(port, app) if app else set()
+        before = _stage_ids(port, app) if app else None
         t0 = time.time()
         results[name] = fn(spark, df)
         wall = time.time() - t0
-        tasks = (_heaviest_stage_tasks(port, app, _stage_ids(port, app) - before)
-                 if app else [])
+        after = _stage_ids(port, app) if app else None
+        tasks = (_heaviest_stage_tasks(port, app, after - before)
+                 if app and before is not None and after is not None else [])
         med = tasks[len(tasks) // 2] if tasks else 0.0
         out["paths"][name] = {
             "wall_sec": round(wall, 3),
