@@ -1383,6 +1383,10 @@ def q_wire_interop(spark, sf_dir):
         ("loglog", ReferenceFamilyAdaptiveCounting(k=8)),
         ("hllc", ReferenceFamilyHLLClassic(log2m=8)),
         ("countthenestimate", ReferenceFamilyCTE(tipping_point=30, builder="lc", size=256)),
+        # round 6: the two remaining tipped estimator types
+        # (CountThenEstimate.java:190-205 LLC/HLC) built for export
+        ("countthenestimate", ReferenceFamilyCTE(tipping_point=30, builder="llc", k=8)),
+        ("countthenestimate", ReferenceFamilyCTE(tipping_point=30, builder="hlc", log2m=9)),
     ]
     ok, n = True, 0
     for export_kind, sk in builds:
@@ -2038,7 +2042,7 @@ def oracle_sql() -> dict[str, str]:
             "('linearcounting', CAST(3 AS BIGINT), TRUE), "
             "('loglog', CAST(3 AS BIGINT), TRUE), "
             "('qdigest', CAST(3 AS BIGINT), TRUE), "
-            "('reference_family_build', CAST(7 AS BIGINT), TRUE), "
+            "('reference_family_build', CAST(9 AS BIGINT), TRUE), "
             "('spacesaving', CAST(7 AS BIGINT), TRUE), "
             "('tdigest', CAST(6 AS BIGINT), TRUE)) AS t(kind, n_cases, all_ok) "
             "ORDER BY kind"

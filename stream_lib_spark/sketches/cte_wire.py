@@ -53,6 +53,15 @@ _CLASSES = {
         (2205437102378081334, [("I", "k")], None),
     "com.clearspring.analytics.stream.cardinality.HyperLogLog$Builder":
         (-2567898469253021883, [("D", "rsd")], None),
+    # LogLog$Builder is NOT Serializable in the reference (it implements
+    # only IBuilder, LogLog.java:200) — the JVM throws
+    # NotSerializableException on an untipped llc CountThenEstimate, so
+    # there is no real serialVersionUID to pin.  This sentinel descriptor
+    # (suid 0) exists ONLY for our internal partial-state frames; the
+    # JVM-export path refuses untipped llc to match the JVM's own
+    # behavior (ReferenceFamilyCTE.to_reference_bytes).
+    "com.clearspring.analytics.stream.cardinality.LogLog$Builder":
+        (0, [("I", "k")], None),
     "com.clearspring.analytics.stream.cardinality.HyperLogLogPlus$Builder":
         (-14775219914128662, [("I", "p"), ("I", "sp")], None),
     "java.lang.Number": (-8742448824652078965, [], None),

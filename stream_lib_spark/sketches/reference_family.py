@@ -297,8 +297,28 @@ _CTE_BUILDERS = {
     "lc": (_CTE_PKG + "LinearCounting$Builder", ("size",)),
     "adaptive": (_CTE_PKG + "AdaptiveCounting$Builder", ("k",)),
     "hllpp": (_CTE_PKG + "HyperLogLogPlus$Builder", ("p", "sp")),
+    # round 6: the remaining two estimator types the reference's own
+    # readExternal switch handles (CountThenEstimate.java:190-205)
+    "llc": (_CTE_PKG + "LogLog$Builder", ("k",)),
+    "hlc": (_CTE_PKG + "HyperLogLog$Builder", ("log2m",)),
 }
 _BUILDER_TO_KIND = {cls: kind for kind, (cls, _) in _CTE_BUILDERS.items()}
+
+
+def _hll_classic_rsd(log2m: int) -> float:
+    """``HyperLogLog.rsd(log2m)`` (HyperLogLog.java:101-103) — the
+    double the JVM stores in Builder.rsd and serializes."""
+    import math
+
+    return 1.106 / math.sqrt(math.exp(log2m * math.log(2.0)))
+
+
+def _hll_classic_log2m(rsd: float) -> int:
+    """``HyperLogLog.log2m(rsd)`` (HyperLogLog.java:97-99) — how
+    Builder.readObject restores the transient log2m from rsd."""
+    import math
+
+    return int(math.log((1.106 / rsd) * (1.106 / rsd)) / math.log(2.0))
 
 
 class ReferenceFamilyCTE:
@@ -333,12 +353,13 @@ class ReferenceFamilyCTE:
 
     def __init__(self, tipping_point: int = 1000, builder: str = "hllpp",
                  size: int | None = None, k: int | None = None,
-                 p: int = 14, sp: int = 25, _parsed=None):
+                 p: int = 14, sp: int = 25, log2m: int | None = None,
+                 _parsed=None):
         if builder not in _CTE_BUILDERS:
             raise ValueError(f"builder must be one of {sorted(_CTE_BUILDERS)}")
         self.tipping_point = tipping_point
         self.builder = builder
-        self.bparams = {"size": size, "k": k, "p": p, "sp": sp}
+        self.bparams = {"size": size, "k": k, "p": p, "sp": sp, "log2m": log2m}
         self.elements: set | None = set()
         self.est = None
         self.etype: int | None = None
@@ -355,7 +376,7 @@ class ReferenceFamilyCTE:
         return args
 
     def _build_estimator(self):
-        from .cte_wire import TYPE_AC, TYPE_HLPC, TYPE_LC
+        from .cte_wire import TYPE_AC, TYPE_HLC, TYPE_HLPC, TYPE_LC, TYPE_LLC
 
         if self.builder == "lc":
             from .lc_wire import ReferenceLC
@@ -365,6 +386,14 @@ class ReferenceFamilyCTE:
             from .loglog_wire import ReferenceAdaptiveCounting
 
             return ReferenceAdaptiveCounting.new(self.bparams["k"]), TYPE_AC
+        if self.builder == "llc":
+            from .loglog_wire import ReferenceLogLog
+
+            return ReferenceLogLog.new(self.bparams["k"]), TYPE_LLC
+        if self.builder == "hlc":
+            from .loglog_wire import ReferenceHyperLogLog
+
+            return ReferenceHyperLogLog.new(self.bparams["log2m"]), TYPE_HLC
         from .hll import HllPlusPlus
 
         return HllPlusPlus(p=self.bparams["p"], sp=self.bparams["sp"]), TYPE_HLPC
@@ -447,8 +476,13 @@ class ReferenceFamilyCTE:
 
         if not self.tipped:
             cls, _ = _CTE_BUILDERS[self.builder]
+            args = self._builder_args()
+            if self.builder == "hlc":
+                # the JVM Builder serializes only `rsd` (log2m is
+                # transient, restored by Builder.readObject)
+                args = {"rsd": _hll_classic_rsd(args["log2m"])}
             return ReferenceCTE(False, tipping_point=self.tipping_point,
-                                builder_class=cls, builder_args=self._builder_args(),
+                                builder_class=cls, builder_args=args,
                                 elements=sorted(self.elements))
         if self.etype == TYPE_HLPC:
             from .hll_wire import to_reference_bytes as hll_bytes
@@ -462,10 +496,27 @@ class ReferenceFamilyCTE:
     def to_reference_bytes(self) -> bytes:
         from .cte_wire import to_reference_bytes
 
+        if not self.tipped and self.builder == "llc":
+            # parity with the JVM's own behavior: LogLog.Builder
+            # implements only IBuilder (not Serializable), so the
+            # reference ITSELF cannot writeExternal an untipped
+            # LogLog-builder CountThenEstimate (NotSerializableException,
+            # LogLog.java:200).  Our internal partial-state frame
+            # (`to_bytes`) still round-trips; only the JVM export is
+            # refused, matching the JVM.
+            raise ValueError(
+                "untipped llc CountThenEstimate has no JVM wire form "
+                "(LogLog.Builder is not Serializable in the reference); "
+                "export after tipping, or use builder='adaptive'")
         return to_reference_bytes(self._as_reference_cte())
 
     def to_bytes(self) -> bytes:
-        return pack_header(KIND_CTE_REF) + self.to_reference_bytes()
+        from .cte_wire import to_reference_bytes
+
+        # internal state frame: same JOS layout for every builder
+        # (untipped llc uses the sentinel LogLog$Builder descriptor that
+        # only our parser accepts — see cte_wire._CLASSES note)
+        return pack_header(KIND_CTE_REF) + to_reference_bytes(self._as_reference_cte())
 
     def _restore(self, parsed) -> None:
         from .cte_wire import TYPE_HLPC
@@ -475,7 +526,12 @@ class ReferenceFamilyCTE:
             if kind is None:
                 raise ValueError(f"unsupported builder {parsed.builder_class!r}")
             self.builder = kind
-            self.bparams.update(parsed.builder_args)
+            if kind == "hlc":
+                # wire carries rsd; restore log2m like Builder.readObject
+                self.bparams["log2m"] = _hll_classic_log2m(
+                    parsed.builder_args["rsd"])
+            else:
+                self.bparams.update(parsed.builder_args)
             self.tipping_point = parsed.tipping_point
             self.elements = {str(e) for e in parsed.elements}
             self.est = self.etype = None
@@ -491,7 +547,7 @@ class ReferenceFamilyCTE:
         else:
             parsed_est = parsed.estimator()
             self.est = parsed_est
-            from .cte_wire import TYPE_AC, TYPE_LC
+            from .cte_wire import TYPE_AC, TYPE_HLC, TYPE_LC, TYPE_LLC
 
             if parsed.estimator_type == TYPE_LC:
                 self.builder = "lc"
@@ -499,6 +555,12 @@ class ReferenceFamilyCTE:
             elif parsed.estimator_type == TYPE_AC:
                 self.builder = "adaptive"
                 self.bparams["k"] = parsed_est.k
+            elif parsed.estimator_type == TYPE_LLC:
+                self.builder = "llc"
+                self.bparams["k"] = parsed_est.k
+            elif parsed.estimator_type == TYPE_HLC:
+                self.builder = "hlc"
+                self.bparams["log2m"] = parsed_est.log2m
             else:
                 raise ValueError(
                     f"unsupported tipped estimator type {parsed.estimator_type}")
