@@ -21,6 +21,12 @@ from .cms_wire import murmur2_32_fixed
 
 
 def _murmur32_items(items) -> np.ndarray:
+    # measured choice (round 6, BENCH.md "encoder micro-bench"): for
+    # UTF-8 the per-item encode listcomp beats the vectorized UCS4-view
+    # pipeline 0.29s vs 0.50s per 1M ASCII items (str.encode is
+    # near-free for ASCII; the U-cast chain is not), so this path keeps
+    # the listcomp while the UTF-16 path (cms_wire.encoded_matrix) uses
+    # the vectorized encoder, which wins there.
     enc = [str(s).encode("utf-8") for s in items]
     lengths = np.array([len(b) for b in enc], dtype=np.int64)
     out = np.empty(len(enc), dtype=np.int32)

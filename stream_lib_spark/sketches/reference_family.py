@@ -131,13 +131,15 @@ class ReferenceFamilyBloom:
     # ------------------------------------------------------------ update
 
     def update_batch(self, items: np.ndarray, counts: np.ndarray | None = None) -> "ReferenceFamilyBloom":
-        self.ref.add([str(x) for x in items])
+        # no per-item coercion: string_hash_buckets casts the whole
+        # batch C-level (encoded_matrix) before the hash kernel
+        self.ref.add(items)
         return self
 
     # ------------------------------------------------------------ query
 
     def might_contain(self, items) -> np.ndarray:
-        return self.ref.is_present([str(x) for x in items])
+        return self.ref.is_present(items)
 
     @property
     def hash_count(self) -> int:
@@ -185,7 +187,9 @@ class _ReferenceFamilyCardinality:
         self.ref = _ref if _ref is not None else self._new(**params)
 
     def update_batch(self, items: np.ndarray, counts: np.ndarray | None = None):
-        self.ref.add([str(x) for x in items])
+        # batch coercion happens C-level inside the hash kernels
+        # (encoded_matrix / lookup3 path), not per item here
+        self.ref.add(items)
         return self
 
     def cardinality(self) -> float:
@@ -401,16 +405,16 @@ class ReferenceFamilyCTE:
     def _offer_into_est(self, items) -> None:
         from .cte_wire import TYPE_HLPC
 
-        if not items:
+        if len(items) == 0:
             return
-        strs = [str(x) for x in items]
         if self.etype == TYPE_HLPC:
             from ..hashing import murmur64a_array
 
-            self.est.update_hashed(
-                murmur64a_array(np.array(strs, dtype=object)).view(np.int64))
+            arr = np.asarray(items, dtype=object)
+            self.est.update_hashed(murmur64a_array(arr).view(np.int64))
         else:
-            self.est.add(strs)
+            # the estimator's own kernel casts the batch C-level
+            self.est.add(items)
 
     def _maybe_tip(self) -> None:
         if self.elements is not None and len(self.elements) > self.tipping_point:
@@ -425,11 +429,13 @@ class ReferenceFamilyCTE:
         return self.elements is None
 
     def update_batch(self, items: np.ndarray, counts: np.ndarray | None = None):
-        strs = [str(x) for x in items]
+        arr = np.asarray(items)
+        if arr.dtype.kind != "U":
+            arr = arr.astype("U")  # single C-level str() pass
         if self.tipped:
-            self._offer_into_est(strs)
+            self._offer_into_est(arr)
         else:
-            self.elements.update(strs)
+            self.elements.update(arr.tolist())
             self._maybe_tip()
         return self
 

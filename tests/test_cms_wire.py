@@ -77,3 +77,35 @@ def test_split_merge_equals_whole():
     for p in parts[1:]:
         merged.merge(p)
     assert merged.to_bytes() == blob
+
+
+def test_encoded_matrix_edge_parity():
+    """Round 6: the vectorized UCS4-view encoder must agree byte-for-
+    byte with per-item codecs on every edge that ever bit us — trailing
+    NUL (numpy U storage strips it without the sentinel), interior NUL,
+    U+0100 (UTF-16-BE low byte 0x00), astral chars (surrogate pairs via
+    the slow-row fallback), CJK, empty strings, and numeric coercion."""
+    from stream_lib_spark.sketches.cms_wire import encoded_matrix
+
+    tricky = ["", "a", "abĀ", "Ā", "x\x00", "\x00", "inner\x00nul",
+              "emoji \U0001F600 mixed", "Ā˂Ȁ", "plain", "Ā" * 7,
+              "ünïcødé", "日本語テキスト"]
+    items = np.array(tricky + [f"user-{i}" for i in range(200)], dtype=object)
+
+    for encoding, prefix in (("utf-16-be", b"\xfe\xff"), ("utf-8", b"")):
+        mat, lengths = encoded_matrix(items, encoding, prefix=prefix)
+        for i, s in enumerate(items):
+            want = prefix + str(s).encode(encoding)
+            got = mat[i, : lengths[i]].tobytes()
+            assert got == want, (encoding, i, s, got, want)
+
+    # numeric arrays coerce like str()
+    mat, lengths = encoded_matrix(np.arange(50, dtype=np.int64), "utf-8")
+    assert mat[7, : lengths[7]].tobytes() == b"7"
+    assert mat[42, : lengths[42]].tobytes() == b"42"
+
+    # lone surrogate: real codec raises, matching the old per-item path
+    import pytest as _pytest
+
+    with _pytest.raises(UnicodeEncodeError):
+        encoded_matrix(np.array(["bad\ud800tail"], dtype=object), "utf-16-be")
