@@ -115,6 +115,10 @@ def run(spark) -> dict:
     from stream_lib_spark.textops import (
         minhash_candidate_count,
         minhash_lsh_pairs,
+        ngram_candidate_count,
+        ngram_jaccard_pairs,
+        simhash_candidate_count,
+        simhash_near_dups,
         winnowing_fingerprints,
     )
 
@@ -153,6 +157,10 @@ def run(spark) -> dict:
         "minhash_dedup": lambda d: minhash_candidate_count(d),
         "winnowing": lambda d: winnowing_fingerprints(d).count(),
         "ivf_ann_100q": lambda d: ivf_candidate_count(d, queries, n_lists=32, n_probe=8),
+        # round 6 (judge r05 #5): the remaining two pair paths, counted
+        # over the same projections their joins use
+        "simhash_dedup": lambda d: simhash_candidate_count(d),
+        "ngram_jaccard": lambda d: ngram_candidate_count(d, n=3),
     }
     for name, d1, d10, fn in [
         ("minhash_dedup", docs1, docs10,
@@ -161,6 +169,10 @@ def run(spark) -> dict:
          lambda d: winnowing_fingerprints(d).count()),
         ("ivf_ann_100q", emb1, emb10,
          lambda d: ivf_topk(d, queries, k=5, n_lists=32, n_probe=8).count()),
+        ("simhash_dedup", docs1, docs10,
+         lambda d: simhash_near_dups(d, hamming_max=3).count()),
+        ("ngram_jaccard", docs1, docs10,
+         lambda d: ngram_jaccard_pairs(d, n=3, threshold=0.8).count()),
     ]:
         attempts = []
         for _ in range(2):  # outer retry: VM contention windows can
