@@ -142,6 +142,126 @@ def bench_queries(spark) -> tuple[dict, dict]:
     return timings, extras
 
 
+SF1_DIR = "/tmp/bench_sf1"
+#: gates the sf1 smoke re-checks at 10x (the headline-bench surfaces
+#: that have exact DuckDB oracles); family gates cover the estimator
+#: batteries, minhash/ann cover the pair/vector paths
+SF1_GATES = [
+    "q1_pricing_summary", "hll_users_by_type", "cardinality_global_gates",
+    "cms_freq_gates", "quantile_rank_gates", "topk_event_types",
+    "heavy_hitters_partkey", "bloom_custkey", "sessionization",
+    "exact_dedup_documents", "token_stats", "minhash_dedup_pairs",
+    "ann_topk",
+]
+
+
+def materialize_sf1(spark, path: str = SF1_DIR) -> str:
+    """Deterministic 10x blow-up of the sf0.1 tables (≈ sf1): ten
+    key-shifted copies per fact table (foreign keys shifted together so
+    joins stay consistent), token-suffixed documents (keeps near-dup
+    structure linear — same construction as the scale-trend 10x), and
+    coordinate-shifted embeddings.  Dimensions copy through unchanged.
+    Generation is excluded from any timing and cached under /tmp."""
+    marker = os.path.join(path, "_SF1_DONE")
+    if os.path.exists(marker):
+        return path
+    os.makedirs(path, exist_ok=True)
+    # shift by 1e9: far above any testdata key AND above the absent-probe
+    # ranges gates use (e.g. bloom_custkey probes 10.0-10.02M as absent;
+    # a 10M shift made those keys genuinely present at 10x — caught by
+    # the first sf1 run)
+    shift_cols = {
+        "customer": ["c_custkey"], "supplier": ["s_suppkey"],
+        "part": ["p_partkey"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+        "events": ["event_id", "user_id"],
+        "region": [], "nation": [],
+    }
+    for table, keys in shift_cols.items():
+        df = spark.read.parquet(f"{SF_DIR}/{table}.parquet")
+        if not keys:  # dimension: copy once, unchanged
+            df.write.mode("overwrite").parquet(f"{path}/{table}.parquet")
+            continue
+        copies = None
+        for k in range(10):
+            c = df.select(*[
+                (F.col(col) + k * 1_000_000_000).alias(col) if col in keys else F.col(col)
+                for col in df.columns
+            ])
+            copies = c if copies is None else copies.unionByName(c)
+        copies.repartition(32).write.mode("overwrite").parquet(f"{path}/{table}.parquet")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    copies = None
+    for k in range(10):
+        c = docs.select(
+            (F.col("doc_id") + k * 1_000_000_000).alias("doc_id"),
+            F.regexp_replace("text", r"(\S+)", f"$1x{k}").alias("text"),
+            "lang", "source",
+        ).withColumn("n_chars", F.length("text").cast("long"))
+        copies = c if copies is None else copies.unionByName(c)
+    copies.repartition(32).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    copies = None
+    for k in range(10):
+        c = emb.select(
+            (F.col("vec_id") + k * 1_000_000_000).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: (x + F.when(i == k % 64, 0.05 * (k + 1)).otherwise(0.0)).cast("float"),
+            ).alias("embedding"),
+            "label",
+        )
+        copies = c if copies is None else copies.unionByName(c)
+    copies.repartition(32).write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
+    with open(marker, "w") as f:
+        f.write(SF_DIR)
+    return path
+
+
+def run_sf1_smoke() -> dict:
+    """--sf1-smoke (round 6, judge r05 #7): one 10x-scale correctness
+    pass — every SF1_GATES entry runs its Spark query AND its exact
+    DuckDB oracle on the blown-up tables and must match value-for-value
+    (same canonicalization as tools/check_gate, stricter than the
+    driver's hash).  Catches plans that silently degrade with input
+    size (e.g. AQE flipping a broadcast join to shuffle).  One-off
+    disclosed run recorded in BENCH.md; not part of the default bench."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tools.check_gate import TABLES, compare
+
+    spark = _session(CPUS)
+    materialize_sf1(spark)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF1_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            # Spark writes each table as a parquet DIRECTORY; DuckDB
+            # wants a glob over its part files
+            pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    gates, ok_all = {}, True
+    for name in SF1_GATES:
+        t0 = time.time()
+        spark_pdf = None
+        try:
+            spark_pdf = qs[name](spark, SF1_DIR).toPandas()
+            oracle_pdf = con.sql(oracles[name]).df()
+            ok = compare(spark_pdf, oracle_pdf, name)
+        except Exception as e:  # noqa: BLE001 - recorded, run continues
+            print(f"  [{name}] ERROR {e}")
+            ok = False
+        ok_all &= ok
+        gates[name] = {"ok": bool(ok), "sec": round(time.time() - t0, 2),
+                       "rows": int(len(spark_pdf)) if spark_pdf is not None else None}
+    spark.stop()
+    return {"metric": "sf1_smoke", "sf": _sf() * 10, "all_ok": bool(ok_all),
+            "gates": gates}
+
+
 def run_scaling() -> dict:
     """N vs 4N executor scaling via isolated processes (primary evidence,
     see BENCH.md): N=1 vs 4N=4 single-core Spark processes over disjoint
@@ -175,6 +295,9 @@ def _session(cpus: int):
 def main():
     if "--help" in sys.argv or "-h" in sys.argv:
         print(__doc__)
+        return
+    if "--sf1-smoke" in sys.argv:
+        print(json.dumps(run_sf1_smoke()))
         return
     # scaling pair runs by DEFAULT so the per-round bench artifact carries
     # the north-rule evidence (>=0.8 efficiency N→4N); skip with

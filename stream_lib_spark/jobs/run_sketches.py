@@ -116,8 +116,9 @@ def main(argv=None):
                     "cms(depth,width,seed | eps,confidence,seed [,item_type=long]); "
                     "bloom(n_elements, fpp | buckets_per_element); "
                     "linearcounting(size); loglog(k [,adaptive=1]); "
-                    "countthenestimate(tipping_point, builder=lc|adaptive|hllpp, "
-                    "size|k|p,sp); hllc(log2m)")
+                    "countthenestimate(tipping_point, "
+                    "builder=lc|adaptive|hllpp|llc|hlc, size|k|p,sp|log2m); "
+                    "hllc(log2m)")
 
     # only stop a session this job created — getOrCreate() returns any
     # live session (e.g. a host application invoking main() in-process)
