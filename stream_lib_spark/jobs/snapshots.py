@@ -130,8 +130,14 @@ def commit_snapshot(table_path: str, max_retries: int = 32) -> tuple[int, str]:
     mdir = _manifest_dir(table_path)
     os.makedirs(mdir, exist_ok=True)
     for _ in range(max_retries):
-        snap_id = snapshot(table_path)
+        # OCC ordering matters (code-review r6 #4): read the base head
+        # version BEFORE capturing.  If another writer commits after
+        # our base read, our os.link at base+1 collides and we retry
+        # with a fresh capture; capturing first would let a stale
+        # capture win a LATER version and silently drop the concurrent
+        # writer's committed file from the head.
         v = head_version(table_path) + 1
+        snap_id = snapshot(table_path)
         target = os.path.join(mdir, f"head-{v:012d}.json")
         tmp = os.path.join(mdir, f".commit-{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as fh:

@@ -31,6 +31,7 @@ import numpy as np
 from .base import SketchMergeError
 
 _M32 = np.int32(0x5BD1E995)
+_M32_INT = 0x5BD1E995
 
 
 def _wrap32(x: np.ndarray) -> np.ndarray:
@@ -43,10 +44,50 @@ def _lsr32(x: np.ndarray, s: int) -> np.ndarray:
     return (x.view(np.uint32) >> np.uint32(s)).view(np.int32)
 
 
+def _murmur2_32_py(data: bytes, length: int, seed: int) -> int:
+    """Scalar reference murmur2-32 over one row — plain Python ints.
+    The vectorized kernel is parallel across ROWS but serial over byte
+    positions (murmur's fold is sequential), so a single multi-MB item
+    costs ~1 numpy-scalar op per 4 bytes (~50s/2MB); this path is ~100x
+    cheaper per step for long, few-row buckets.  Bit-identical to the
+    vector kernel (property-tested)."""
+    M, MASK = _M32_INT, 0xFFFFFFFF
+    h = ((seed & MASK) ^ length) & MASK
+    len4 = length >> 2
+    for j in range(len4):
+        k = int.from_bytes(data[4 * j:4 * j + 4], "little")
+        k = (k * M) & MASK
+        k ^= k >> 24
+        k = (k * M) & MASK
+        h = (h * M) & MASK
+        h ^= k
+    left = length - 4 * len4
+    if left:
+        if left >= 3:
+            h ^= ((data[length - 3] - 256 if data[length - 3] > 127 else data[length - 3]) << 16) & MASK
+        if left >= 2:
+            h ^= ((data[length - 2] - 256 if data[length - 2] > 127 else data[length - 2]) << 8) & MASK
+        h ^= (data[length - 1] - 256 if data[length - 1] > 127 else data[length - 1]) & MASK
+        h = (h * M) & MASK
+    h ^= h >> 13
+    h = (h * M) & MASK
+    h ^= h >> 15
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
 def murmur2_32_fixed(buf: np.ndarray, length: int, seed) -> np.ndarray:
     """Reference murmur2-32 (``hash/MurmurHash.java:64-110``) over an
     (n, length) uint8 matrix, vectorized; ``seed`` scalar or (n,) int32."""
     n = buf.shape[0]
+    if length >= 4096 and n * 64 < length:
+        # long, few-row bucket: scalar big-int path beats the
+        # numpy-scalar-per-4-bytes loop ~100x (see _murmur2_32_py)
+        seeds = np.broadcast_to(np.asarray(seed, dtype=np.int32), n)
+        return np.array(
+            [_murmur2_32_py(buf[i, :length].tobytes(), length, int(seeds[i]))
+             for i in range(n)],
+            dtype=np.int32,
+        )
     with np.errstate(over="ignore"):
         h = (np.broadcast_to(np.asarray(seed, dtype=np.int32), n).copy()
              ^ np.int32(length))
@@ -74,27 +115,44 @@ def murmur2_32_fixed(buf: np.ndarray, length: int, seed) -> np.ndarray:
     return h
 
 
-def encoded_matrix(items, encoding: str, prefix: bytes = b"") -> tuple[np.ndarray, np.ndarray]:
-    """Encode a batch of items to an (n, max_len) uint8 matrix plus
-    per-item byte lengths — vectorized end to end (round 6, judge r05
-    #4).  One C pass each: sentinel append (object-level ``np.add``),
-    fixed-width U cast, then bytes straight off the UCS4 code-point
-    view (``np.char.encode`` is NOT C-level — it measured 2x SLOWER
-    than the old per-item listcomp; see BENCH.md).  Rows outside the
-    fast path (non-ASCII for utf-8, astral for utf-16-be) fall back to
-    the real codec per row — ~0 rows on typical token/ID batches.
-    Length-bucketed hash kernels then slice ``mat[sel, :L]``.
+#: padded-UCS4-matrix byte budget for the vectorized fast path; items
+#: longer than the per-batch width budget take the per-item codec tail
+#: instead (code-review r6 #5: one 1 MB string in a 100k-item batch
+#: would otherwise make astype('U') allocate ~400 GB)
+_VEC_BYTE_BUDGET = 256 * 2**20
+
+
+def _coerce_batch(items) -> np.ndarray:
+    """Batch → ndarray WITHOUT a lossy fixed-width cast: list inputs
+    must become OBJECT arrays here — ``np.asarray(['x\\x00'])`` builds
+    fixed-width U storage that strips the trailing U+0000 before any
+    sentinel can protect it (code-review r6 #1).  U-dtype ndarrays from
+    the caller already lost such code points at THEIR construction;
+    that matches the old per-item path, which read the same stripped
+    elements."""
+    if isinstance(items, np.ndarray):
+        return items
+    return np.asarray(items, dtype=object)
+
+
+def _padded_matrix(arr, encoding: str, pre: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Core vectorized encoder over a (budget-bounded) batch: one C
+    pass each — sentinel append (object-level ``np.add``), fixed-width
+    U cast, then bytes straight off the UCS4 code-point view
+    (``np.char.encode`` is NOT C-level — it measured 2x SLOWER than the
+    old per-item listcomp; see BENCH.md).  Rows outside the fast path
+    (non-ASCII for utf-8, astral for utf-16-be) fall back to the real
+    codec per row — ~0 rows on typical token/ID batches.
 
     Trailing-NUL hazard: numpy's fixed-width U storage strips trailing
     U+0000 code points (``'x\\x00'`` reads back ``'x'``), so the
     sentinel is appended BEFORE the cast — every original code point
     stays interior and survives; lengths exclude the sentinel and the
     bucket slice never reads it."""
-    arr = np.asarray(items)
     n = len(arr)
-    pre = np.frombuffer(prefix, dtype=np.uint8)
+    p = len(pre)
     if n == 0:
-        return np.empty((0, len(pre)), dtype=np.uint8), np.empty(0, dtype=np.int64)
+        return np.empty((0, p), dtype=np.uint8), np.empty(0, dtype=np.int64)
     if arr.dtype.kind == "U":
         sarr = np.char.add(arr, "!")
     elif arr.dtype.kind == "O":
@@ -111,7 +169,6 @@ def encoded_matrix(items, encoding: str, prefix: bytes = b"") -> tuple[np.ndarra
     else:
         # numeric reprs can't contain NUL; plain cast is safe
         sarr = np.char.add(arr.astype("U"), "!")
-    p = len(pre)
     nchars = np.char.str_len(sarr).astype(np.int64) - 1  # sentinel-protected
     w = sarr.dtype.itemsize // 4
     cps = sarr.view(np.uint32).reshape(n, w)  # 0-padded code points
@@ -147,15 +204,80 @@ def encoded_matrix(items, encoding: str, prefix: bytes = b"") -> tuple[np.ndarra
     return mat, lengths
 
 
+def encoded_buckets(items, encoding: str, prefix: bytes = b""):
+    """Yield ``(row_indices, (k, L) uint8 buffer, L)`` byte-length
+    buckets for a batch — the shape the fixed-width murmur kernel
+    consumes.  The bulk of the batch runs through the vectorized
+    ``_padded_matrix``; items whose char length exceeds the per-batch
+    width budget (``_VEC_BYTE_BUDGET / 4n``) are split out FIRST and
+    encoded per item instead, so a single huge string cannot inflate
+    the padded matrix to n x max_len x 4 bytes (code-review r6 #5) —
+    the old all-listcomp path was O(total bytes) and the split restores
+    that bound for skewed batches."""
+    arr = _coerce_batch(items)
+    n = len(arr)
+    if n == 0:
+        return
+    pre = np.frombuffer(prefix, dtype=np.uint8)
+    p = len(pre)
+    long_rows = short_rows = None
+    if arr.dtype.kind == "O":
+        try:
+            lens = np.fromiter(map(len, arr), dtype=np.int64, count=n)
+        except TypeError:
+            lens = None  # non-str objects mixed in: reprs are short
+        if lens is not None:
+            cap = max(64, _VEC_BYTE_BUDGET // (4 * n))
+            if int(lens.max()) > cap:
+                long_rows = np.nonzero(lens > cap)[0]
+                short_rows = np.nonzero(lens <= cap)[0]
+    if long_rows is None:
+        mat, lengths = _padded_matrix(arr, encoding, pre)
+        for L in np.unique(lengths):
+            sel = np.nonzero(lengths == L)[0]
+            yield sel, mat[sel, : int(L)], int(L)
+        return
+    if len(short_rows):
+        mat, lengths = _padded_matrix(arr[short_rows], encoding, pre)
+        for L in np.unique(lengths):
+            sel = np.nonzero(lengths == L)[0]
+            yield short_rows[sel], mat[sel, : int(L)], int(L)
+    enc = [prefix + str(arr[i]).encode(encoding) for i in long_rows]
+    blen = np.array([len(b) for b in enc], dtype=np.int64)
+    for L in np.unique(blen):
+        sel = np.nonzero(blen == L)[0]
+        buf = np.frombuffer(
+            b"".join(enc[int(i)] for i in sel), dtype=np.uint8
+        ).reshape(len(sel), int(L))
+        yield long_rows[sel], buf, int(L)
+
+
+def encoded_matrix(items, encoding: str, prefix: bytes = b"") -> tuple[np.ndarray, np.ndarray]:
+    """Whole-batch (n, max_len) uint8 matrix + per-item byte lengths,
+    assembled from ``encoded_buckets``.  Prefer iterating the buckets
+    directly in kernels — this materialized form re-pads to the batch
+    max length (fine for tests and small batches)."""
+    arr = _coerce_batch(items)
+    n = len(arr)
+    p = len(np.frombuffer(prefix, dtype=np.uint8))
+    if n == 0:
+        return np.empty((0, p), dtype=np.uint8), np.empty(0, dtype=np.int64)
+    buckets = list(encoded_buckets(arr, encoding, prefix))
+    width = max((L for _, _, L in buckets), default=p)
+    mat = np.zeros((n, width), dtype=np.uint8)
+    lengths = np.empty(n, dtype=np.int64)
+    for sel, buf, L in buckets:
+        mat[sel, :L] = buf
+        lengths[sel] = L
+    return mat, lengths
+
+
 def string_hash_buckets(items, depth: int, width: int) -> np.ndarray:
     """(n, depth) bucket indices — Filter.getHashBuckets semantics.
     Java's "UTF-16" charset = big-endian BOM + UTF-16BE payload."""
-    mat, lengths = encoded_matrix(items, "utf-16-be", prefix=b"\xfe\xff")
-    out = np.empty((len(lengths), depth), dtype=np.int64)
+    out = np.empty((len(items), depth), dtype=np.int64)
     rows32 = np.arange(depth, dtype=np.int32)
-    for L in np.unique(lengths):
-        sel = np.nonzero(lengths == L)[0]
-        buf = mat[sel, : int(L)]
+    for sel, buf, L in encoded_buckets(items, "utf-16-be", prefix=b"\xfe\xff"):
         h1 = murmur2_32_fixed(buf, int(L), 0)
         h2 = murmur2_32_fixed(buf, int(L), h1)
         with np.errstate(over="ignore"):

@@ -325,6 +325,20 @@ def _hll_classic_log2m(rsd: float) -> int:
     return int(math.log((1.106 / rsd) * (1.106 / rsd)) / math.log(2.0))
 
 
+def _stable_log2m(log2m: int) -> int:
+    """Fixpoint of log2m → log2m(rsd(log2m)): the value an hlc Builder
+    lands on after the JVM's own serialize/readObject cycle.  The
+    reference's float truncation makes log2m=4 restore as 3 (int() of
+    3.9999999999999996) — the JVM itself cannot preserve 4 across JOS,
+    and a distributed build serializes every partial, so neither can
+    we (code-review r6 #3)."""
+    seen = set()
+    while log2m not in seen:
+        seen.add(log2m)
+        log2m = _hll_classic_log2m(_hll_classic_rsd(log2m))
+    return log2m
+
+
 class ReferenceFamilyCTE:
     """CountThenEstimate with the reference's exact semantics as
     distributed aggregation state — the untipped phase counts RAW
@@ -361,6 +375,13 @@ class ReferenceFamilyCTE:
                  _parsed=None):
         if builder not in _CTE_BUILDERS:
             raise ValueError(f"builder must be one of {sorted(_CTE_BUILDERS)}")
+        if builder == "hlc" and log2m is not None and _stable_log2m(log2m) != log2m:
+            raise ValueError(
+                f"log2m={log2m} cannot survive the reference's own Builder "
+                f"rsd round-trip (readObject restores "
+                f"{_stable_log2m(log2m)} — HyperLogLog.java:97-103 float "
+                f"truncation); a distributed build serializes every "
+                f"partial, so use {_stable_log2m(log2m)} or {log2m + 1}")
         self.tipping_point = tipping_point
         self.builder = builder
         self.bparams = {"size": size, "k": k, "p": p, "sp": sp, "log2m": log2m}
@@ -429,13 +450,26 @@ class ReferenceFamilyCTE:
         return self.elements is None
 
     def update_batch(self, items: np.ndarray, counts: np.ndarray | None = None):
-        arr = np.asarray(items)
-        if arr.dtype.kind != "U":
-            arr = arr.astype("U")  # single C-level str() pass
-        if self.tipped:
-            self._offer_into_est(arr)
+        # RAW-string semantics (code-review r6 #2): no fixed-width U
+        # cast here — numpy's U storage strips trailing U+0000, which
+        # would collapse distinct raw items ('x\x00' vs 'x') and
+        # diverge from what the JVM reference stores.  Object batches
+        # pass through as-is (one cheap identity scan; per-item str()
+        # only if non-str objects are actually present); numeric
+        # batches C-cast (their reprs can't contain NUL).
+        arr = items if isinstance(items, np.ndarray) else np.asarray(items, dtype=object)
+        if arr.dtype.kind == "O":
+            vals = arr.tolist()
+            if any(type(x) is not str for x in vals):
+                vals = [str(x) for x in vals]
+        elif arr.dtype.kind == "U":
+            vals = arr.tolist()
         else:
-            self.elements.update(arr.tolist())
+            vals = arr.astype("U").tolist()
+        if self.tipped:
+            self._offer_into_est(vals)
+        else:
+            self.elements.update(vals)
             self._maybe_tip()
         return self
 
@@ -533,9 +567,12 @@ class ReferenceFamilyCTE:
                 raise ValueError(f"unsupported builder {parsed.builder_class!r}")
             self.builder = kind
             if kind == "hlc":
-                # wire carries rsd; restore log2m like Builder.readObject
-                self.bparams["log2m"] = _hll_classic_log2m(
-                    parsed.builder_args["rsd"])
+                # wire carries rsd; restore log2m like Builder.readObject,
+                # then normalize to the serialization fixpoint so OUR
+                # re-export is stable even for JVM blobs carrying an
+                # unstable rsd (the JVM itself would drift the same way)
+                self.bparams["log2m"] = _stable_log2m(
+                    _hll_classic_log2m(parsed.builder_args["rsd"]))
             else:
                 self.bparams.update(parsed.builder_args)
             self.tipping_point = parsed.tipping_point

@@ -109,3 +109,44 @@ def test_encoded_matrix_edge_parity():
 
     with _pytest.raises(UnicodeEncodeError):
         encoded_matrix(np.array(["bad\ud800tail"], dtype=object), "utf-16-be")
+
+
+def test_encoded_buckets_long_tail_split_and_scalar_murmur():
+    """Code-review r6 #5: one huge item in a large batch must not
+    inflate the padded-UCS4 matrix (O(n*max_len*4)) — long items split
+    into the per-item codec tail, and the murmur kernel's scalar
+    big-int path handles long few-row buckets.  Parity vs the per-item
+    reference on a mixed batch; scalar==vector parity on random rows."""
+    from stream_lib_spark.sketches.cms_wire import (
+        _murmur2_32_py,
+        encoded_buckets,
+        murmur2_32_fixed,
+        string_hash_buckets,
+    )
+
+    rng = np.random.RandomState(11)
+    for L in (4096, 4097, 10001):
+        buf = rng.randint(0, 256, size=(2, L)).astype(np.uint8)
+        big = np.vstack([buf] * 201)  # 402 rows -> vector path
+        for seed in (-1, 0, 987654321):
+            vec = murmur2_32_fixed(big, L, seed)
+            sc = murmur2_32_fixed(buf, L, seed)  # 2 rows -> scalar path
+            assert (sc == vec[:2]).all()
+
+    items = np.array(
+        [f"user-{i}" for i in range(5000)] + ["長い" * 40_000, "x" * 99_999],
+        dtype=object)
+    got = string_hash_buckets(items, 4, 100_003)
+    want = np.empty_like(got)
+    rows32 = np.arange(4, dtype=np.int32)
+    for i, s in enumerate(items):
+        b = b"\xfe\xff" + str(s).encode("utf-16-be")
+        h1 = _murmur2_32_py(b, len(b), 0)
+        h2 = _murmur2_32_py(b, len(b), h1)
+        with np.errstate(over="ignore"):
+            v = np.int32(h1) + rows32 * np.int32(h2)
+        want[i] = np.abs(v.astype(np.int64)) % 100_003
+    assert (got == want).all()
+    # the generator actually split: some bucket came from the tail path
+    Ls = [L for _, _, L in encoded_buckets(items, "utf-16-be", prefix=b"\xfe\xff")]
+    assert max(Ls) > 100_000

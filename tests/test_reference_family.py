@@ -596,3 +596,43 @@ def test_streaming_trigger_flags_mutually_exclusive(tmp_path):
         streaming_sketch_query(None, "c", SketchSpec("hll", p=8),
                                str(tmp_path / "s"), str(tmp_path / "c"),
                                processing_time="1 seconds")
+
+
+def test_cte_family_raw_string_nul_semantics():
+    """Code-review r6 #2: the untipped phase counts RAW strings — a
+    trailing U+0000 must distinguish items (numpy's fixed-width U cast
+    would silently strip it and collapse 'x\\x00' with 'x')."""
+    from stream_lib_spark.sketches.reference_family import ReferenceFamilyCTE
+
+    sk = ReferenceFamilyCTE(tipping_point=1000, builder="lc", size=256)
+    sk.update_batch(np.array(["x\x00", "x", "y\x00\x00", "y"], dtype=object))
+    assert sk.cardinality() == 4.0
+    back = ReferenceFamilyCTE.from_bytes(sk.to_bytes())
+    assert back.cardinality() == 4.0 and back.to_bytes() == sk.to_bytes()
+
+
+def test_hlc_log2m_serialization_fixpoint():
+    """Code-review r6 #3: the reference's Builder.readObject float
+    truncation restores log2m=4 as 3 (int(3.9999999999999996)) — the
+    JVM itself cannot preserve 4 across JOS, and a distributed build
+    serializes every partial, so construction REJECTS unstable values
+    with guidance; stable values round-trip byte-identically."""
+    from stream_lib_spark.sketches.reference_family import (
+        ReferenceFamilyCTE,
+        _hll_classic_log2m,
+        _hll_classic_rsd,
+        _stable_log2m,
+    )
+
+    with pytest.raises(ValueError, match="rsd round-trip"):
+        ReferenceFamilyCTE(tipping_point=10, builder="hlc", log2m=4)
+    # every other practical value is a fixpoint
+    for m in range(3, 31):
+        if m == 4:
+            continue
+        assert _hll_classic_log2m(_hll_classic_rsd(m)) == m
+        assert _stable_log2m(m) == m
+    h = ReferenceFamilyCTE(tipping_point=1000, builder="hlc", log2m=5)
+    h.update_batch(np.array(["a", "b"], dtype=object))
+    hb = ReferenceFamilyCTE.from_bytes(h.to_bytes())
+    assert hb.to_bytes() == h.to_bytes() and hb.bparams["log2m"] == 5

@@ -159,14 +159,15 @@ def test_concurrent_writers_commit_race_one_winner_per_version(spark, tmp_path, 
 
     def writer(i):
         try:
-            # each writer's file is already durable; the commit race is
-            # purely over the head pointer
+            # copy INSIDE the race (after the barrier) so captures and
+            # commits genuinely interleave — this is the pattern that
+            # exposed the capture-before-base-read lost-update bug
             import shutil as _sh
 
             src = [f for f in os.listdir(table) if f.endswith(".parquet")][0]
+            barrier.wait()
             _sh.copyfile(os.path.join(table, src),
                          os.path.join(table, f"writer-{i}.parquet"))
-            barrier.wait()
             results.append(provider.commit_snapshot(table))
         except Exception as e:  # pragma: no cover - surfaced below
             errors.append(e)
