@@ -607,7 +607,12 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     Jaccard stays exact — a pair is only lost if ALL of its shared
     grams are corpus-hot (tested with a planted boilerplate gram in
     ``tests/test_textops.py``).  Pass ``None`` to disable."""
-    grams = _word_ngrams(docs, n, id_col, text_col)
+    # materialize the exploded-distinct gram table ONCE (round 6): it
+    # feeds the per-doc counts, the hot-gram cap, and BOTH sides of two
+    # self-joins — without the checkpoint Spark re-runs the regex
+    # split + explode + distinct shuffle ~6x (measured 1.7x wall on the
+    # scale-trend 10x corpus)
+    grams = _materialize_once(_word_ngrams(docs, n, id_col, text_col))
     counts = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
     ga = grams.withColumnRenamed(id_col, "id_a")
     gb = grams.withColumnRenamed(id_col, "id_b")
