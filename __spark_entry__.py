@@ -1775,6 +1775,48 @@ def q_split_gates(spark, sf_dir):
     return t.unionByName(s).orderBy("gate", "lang", "split")
 
 
+def q_snapshot_provider_gates(spark, sf_dir):
+    """Table-provider contract as a driver-artifact gate (round 6):
+    snapshot capture + idempotent ids, optimistic head COMMITS
+    (one-winner version sequence), time-travel reads pinned to the old
+    manifest under appends, and head reads — exercised on a scratch
+    table of literal row counts so the oracle is a pure VALUES table.
+    The full clause-by-clause suite (incl. the 8-writer commit race)
+    lives in tests/test_snapshot_provider_contract.py; this row makes
+    the deploy-swap surface part of the per-round correctness artifact."""
+    import shutil
+    import tempfile
+
+    from stream_lib_spark.jobs.snapshots import ParquetManifestProvider
+
+    provider = ParquetManifestProvider()
+    base = tempfile.mkdtemp(prefix="snapgate_")
+    table = os.path.join(base, "t")
+    try:
+        spark.range(0, 1000).selectExpr("id AS v").coalesce(1) \
+            .write.mode("append").parquet(table)
+        s1 = provider.snapshot(table)
+        v1, c1 = provider.commit_snapshot(table)
+        spark.range(1000, 1500).selectExpr("id AS v").coalesce(1) \
+            .write.mode("append").parquet(table)
+        s2 = provider.snapshot(table)
+        v2, c2 = provider.commit_snapshot(table)
+        rows = [
+            ("commit_ids_match_captures", bool(c1 == s1 and c2 == s2)),
+            ("head_reads_all_rows",
+             bool(provider.read_head(spark, table).count() == 1500)),
+            ("head_version_sequence", bool((v1, v2) == (1, 2))),
+            ("snapshot_id_changes_on_append", bool(s1 != s2)),
+            ("snapshot_idempotent", bool(provider.snapshot(table) == s2)),
+            ("snapshots_listed", bool(provider.list_snapshots(table) == sorted({s1, s2}))),
+            ("time_travel_pinned",
+             bool(provider.read_snapshot(spark, table, s1).count() == 1000)),
+        ]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "gate string, ok boolean").orderBy("gate")
+
+
 _GATE_HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "gate_history.json")
 
@@ -1806,6 +1848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reference_family_export_gates": q_reference_family_export_gates,
         "streaming_parity_gates": q_streaming_parity_gates,
         "split_gates": q_split_gates,
+        "snapshot_provider_gates": q_snapshot_provider_gates,
         "ivf_ann_topk": q_ivf_ann_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "transcript_tool_topk": q_transcript_tool_topk,
@@ -1979,6 +2022,13 @@ def oracle_sql() -> dict[str, str]:
             "  UNION ALL SELECT 'windowed', strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S'), "
             "  CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events GROUP BY 2"
             ") ORDER BY gate, grp"
+        ),
+        "snapshot_provider_gates": (
+            "SELECT * FROM (VALUES ('commit_ids_match_captures', TRUE), "
+            "('head_reads_all_rows', TRUE), ('head_version_sequence', TRUE), "
+            "('snapshot_id_changes_on_append', TRUE), "
+            "('snapshot_idempotent', TRUE), ('snapshots_listed', TRUE), "
+            "('time_travel_pinned', TRUE)) AS t(gate, ok) ORDER BY gate"
         ),
         "split_gates": (
             "SELECT gate, lang, split, n_docs FROM ("

@@ -151,3 +151,28 @@ def test_cli_hllc_op(spark, tmp_path):
     ev = spark.read.parquet(f"{SF}/events.parquet")
     exact = ev.select("user_id").distinct().count()
     assert abs(sk.cardinality() - exact) <= max(0.35 * exact, 5)
+
+
+def test_cli_cte_llc_hlc_reference_builds(spark, tmp_path):
+    """Round 6: the CLI can build LogLog- and classic-HLL-tipped
+    CountThenEstimate in the reference hash family and export JVM wire
+    blobs the CTE codec parses back with identical estimates."""
+    from stream_lib_spark.jobs.run_sketches import main
+    from stream_lib_spark.sketches.cte_wire import TYPE_HLC, TYPE_LLC, parse_reference_bytes
+
+    out = tmp_path / "cte_out"
+    main(["--input", f"{SF}/events.parquet",
+          "--ops",
+          "countthenestimate:event_id:tipping_point=50,builder=llc,k=8,hash_family=reference",
+          "countthenestimate:user_id:tipping_point=50,builder=hlc,log2m=10,hash_family=reference",
+          "--output", str(out), "--cpus", "4",
+          "--wire-format", "reference"])
+    row = spark.read.parquet(str(out)).collect()[0]
+    llc = parse_reference_bytes(bytes(row["countthenestimate_event_id"]))
+    assert llc.tipped and llc.estimator_type == TYPE_LLC
+    assert llc.estimator().cardinality() > 50  # event_id is unique per row
+    hlc = parse_reference_bytes(bytes(row["countthenestimate_user_id"]))
+    # 15 distinct users < tipping_point -> untipped element list with
+    # the HyperLogLog$Builder rsd on the wire
+    assert not hlc.tipped and len(hlc.elements) == 15
+    assert hlc.builder_class.endswith("HyperLogLog$Builder")
