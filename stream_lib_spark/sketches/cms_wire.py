@@ -115,13 +115,6 @@ def murmur2_32_fixed(buf: np.ndarray, length: int, seed) -> np.ndarray:
     return h
 
 
-#: padded-UCS4-matrix byte budget for the vectorized fast path; items
-#: longer than the per-batch width budget take the per-item codec tail
-#: instead (code-review r6 #5: one 1 MB string in a 100k-item batch
-#: would otherwise make astype('U') allocate ~400 GB)
-_VEC_BYTE_BUDGET = 256 * 2**20
-
-
 def _coerce_batch(items) -> np.ndarray:
     """Batch → ndarray WITHOUT a lossy fixed-width cast: list inputs
     must become OBJECT arrays here — ``np.asarray(['x\\x00'])`` builds
@@ -129,155 +122,66 @@ def _coerce_batch(items) -> np.ndarray:
     sentinel can protect it (code-review r6 #1).  U-dtype ndarrays from
     the caller already lost such code points at THEIR construction;
     that matches the old per-item path, which read the same stripped
-    elements."""
+    elements.  S-dtype (bytes) arrays route through OBJECT so both
+    containers land on the same ``str()`` repr semantics a list of
+    bytes gets — container-independent state (code-review r6 pass 2)."""
     if isinstance(items, np.ndarray):
+        if items.dtype.kind == "S":
+            return items.astype(object)
         return items
     return np.asarray(items, dtype=object)
 
 
-def _padded_matrix(arr, encoding: str, pre: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Core vectorized encoder over a (budget-bounded) batch: one C
-    pass each — sentinel append (object-level ``np.add``), fixed-width
-    U cast, then bytes straight off the UCS4 code-point view
-    (``np.char.encode`` is NOT C-level — it measured 2x SLOWER than the
-    old per-item listcomp; see BENCH.md).  Rows outside the fast path
-    (non-ASCII for utf-8, astral for utf-16-be) fall back to the real
-    codec per row — ~0 rows on typical token/ID batches.
-
-    Trailing-NUL hazard: numpy's fixed-width U storage strips trailing
-    U+0000 code points (``'x\\x00'`` reads back ``'x'``), so the
-    sentinel is appended BEFORE the cast — every original code point
-    stays interior and survives; lengths exclude the sentinel and the
-    bucket slice never reads it."""
-    n = len(arr)
-    p = len(pre)
-    if n == 0:
-        return np.empty((0, p), dtype=np.uint8), np.empty(0, dtype=np.int64)
-    if arr.dtype.kind == "U":
-        sarr = np.char.add(arr, "!")
-    elif arr.dtype.kind == "O":
-        # append the sentinel BEFORE the fixed-width cast: numpy's U
-        # storage strips trailing U+0000 code points, so 'x\x00' would
-        # silently become 'x' — with '!' appended first every original
-        # code point is interior and survives.  np.add on an object
-        # array is one C loop of str.__add__.
-        try:
-            sarr = np.add(arr, "!").astype("U")
-        except TypeError:  # non-str objects mixed in: rare, coerce first
-            sarr = np.add(np.array([str(x) for x in arr], dtype=object),
-                          "!").astype("U")
-    else:
-        # numeric reprs can't contain NUL; plain cast is safe
-        sarr = np.char.add(arr.astype("U"), "!")
-    nchars = np.char.str_len(sarr).astype(np.int64) - 1  # sentinel-protected
-    w = sarr.dtype.itemsize // 4
-    cps = sarr.view(np.uint32).reshape(n, w)  # 0-padded code points
-
-    if encoding == "utf-8":
-        fast = (cps < 0x80).all(axis=1)  # padding zeros pass
-        fast_mat = cps.astype(np.uint8)
-        unit = 1
-    elif encoding == "utf-16-be":
-        # BMP = one unit per char; lone surrogates go to the real codec
-        # (which raises, exactly like the old per-item path)
-        fast = ((cps < 0xD800) | ((cps > 0xDFFF) & (cps < 0x10000))).all(axis=1)
-        fast_mat = cps.astype(">u2").view(np.uint8).reshape(n, 2 * w)
-        unit = 2
-    else:  # pragma: no cover - only the two Java charsets are used
-        raise ValueError(f"unsupported encoding {encoding!r}")
-
-    lengths = p + unit * nchars
-    slow_rows = np.nonzero(~fast)[0]
-    slow_enc = []
-    width = p + fast_mat.shape[1]
-    for i in slow_rows:
-        b = str(sarr[i])[:-1].encode(encoding)  # real codec, minus sentinel
-        slow_enc.append(b)
-        lengths[i] = p + len(b)
-        width = max(width, p + len(b))
-    mat = np.zeros((n, width), dtype=np.uint8)
-    if p:
-        mat[:, :p] = pre
-    mat[:, p:p + fast_mat.shape[1]] = fast_mat
-    for i, b in zip(slow_rows, slow_enc):
-        mat[i, p:p + len(b)] = np.frombuffer(b, dtype=np.uint8)
-    return mat, lengths
+def _as_str_objects(arr: np.ndarray) -> np.ndarray:
+    """Object batch → object batch of PYTHON STR, coercing non-str
+    elements via one str() pass only when any are present (the
+    short-circuit type scan is ~0.05s/1M and keeps every downstream
+    length/cap/cast decision consistent — an element whose __len__
+    disagrees with its repr length, e.g. a list, would otherwise dodge
+    the long-tail split, code-review r6 pass 2 #1)."""
+    if any(type(x) is not str for x in arr):
+        return np.array([str(x) for x in arr], dtype=object)
+    return arr
 
 
-def encoded_buckets(items, encoding: str, prefix: bytes = b""):
-    """Yield ``(row_indices, (k, L) uint8 buffer, L)`` byte-length
-    buckets for a batch — the shape the fixed-width murmur kernel
-    consumes.  The bulk of the batch runs through the vectorized
-    ``_padded_matrix``; items whose char length exceeds the per-batch
-    width budget (``_VEC_BYTE_BUDGET / 4n``) are split out FIRST and
-    encoded per item instead, so a single huge string cannot inflate
-    the padded matrix to n x max_len x 4 bytes (code-review r6 #5) —
-    the old all-listcomp path was O(total bytes) and the split restores
-    that bound for skewed batches."""
-    arr = _coerce_batch(items)
-    n = len(arr)
-    if n == 0:
-        return
-    pre = np.frombuffer(prefix, dtype=np.uint8)
-    p = len(pre)
-    long_rows = short_rows = None
-    if arr.dtype.kind == "O":
-        try:
-            lens = np.fromiter(map(len, arr), dtype=np.int64, count=n)
-        except TypeError:
-            lens = None  # non-str objects mixed in: reprs are short
-        if lens is not None:
-            cap = max(64, _VEC_BYTE_BUDGET // (4 * n))
-            if int(lens.max()) > cap:
-                long_rows = np.nonzero(lens > cap)[0]
-                short_rows = np.nonzero(lens <= cap)[0]
-    if long_rows is None:
-        mat, lengths = _padded_matrix(arr, encoding, pre)
-        for L in np.unique(lengths):
-            sel = np.nonzero(lengths == L)[0]
-            yield sel, mat[sel, : int(L)], int(L)
-        return
-    if len(short_rows):
-        mat, lengths = _padded_matrix(arr[short_rows], encoding, pre)
-        for L in np.unique(lengths):
-            sel = np.nonzero(lengths == L)[0]
-            yield short_rows[sel], mat[sel, : int(L)], int(L)
-    enc = [prefix + str(arr[i]).encode(encoding) for i in long_rows]
-    blen = np.array([len(b) for b in enc], dtype=np.int64)
-    for L in np.unique(blen):
-        sel = np.nonzero(blen == L)[0]
-        buf = np.frombuffer(
-            b"".join(enc[int(i)] for i in sel), dtype=np.uint8
-        ).reshape(len(sel), int(L))
-        yield long_rows[sel], buf, int(L)
-
-
-def encoded_matrix(items, encoding: str, prefix: bytes = b"") -> tuple[np.ndarray, np.ndarray]:
-    """Whole-batch (n, max_len) uint8 matrix + per-item byte lengths,
-    assembled from ``encoded_buckets``.  Prefer iterating the buckets
-    directly in kernels — this materialized form re-pads to the batch
-    max length (fine for tests and small batches)."""
-    arr = _coerce_batch(items)
-    n = len(arr)
-    p = len(np.frombuffer(prefix, dtype=np.uint8))
-    if n == 0:
-        return np.empty((0, p), dtype=np.uint8), np.empty(0, dtype=np.int64)
-    buckets = list(encoded_buckets(arr, encoding, prefix))
-    width = max((L for _, _, L in buckets), default=p)
-    mat = np.zeros((n, width), dtype=np.uint8)
-    lengths = np.empty(n, dtype=np.int64)
-    for sel, buf, L in buckets:
-        mat[sel, :L] = buf
-        lengths[sel] = L
-    return mat, lengths
+def bucket_encoded(enc: list):
+    """Group a list of encoded byte strings by length and yield
+    ``(sel_indices, (k, L) uint8 buffer, L)`` — the shared shape every
+    per-item encode path feeds into the fixed-width murmur kernels
+    (also used by lc_wire._murmur32_items; one copy, not three)."""
+    lengths = np.array([len(b) for b in enc], dtype=np.int64)
+    enc_arr = np.array(enc, dtype=object)
+    for L in np.unique(lengths):
+        sel = np.nonzero(lengths == L)[0]
+        buf = (
+            np.frombuffer(b"".join(enc_arr[sel]), dtype=np.uint8).reshape(len(sel), int(L))
+            if L else np.empty((len(sel), 0), dtype=np.uint8)
+        )
+        yield sel, buf, int(L)
 
 
 def string_hash_buckets(items, depth: int, width: int) -> np.ndarray:
     """(n, depth) bucket indices — Filter.getHashBuckets semantics.
-    Java's "UTF-16" charset = big-endian BOM + UTF-16BE payload."""
-    out = np.empty((len(items), depth), dtype=np.int64)
+    Java's "UTF-16" charset = big-endian BOM + UTF-16BE payload.
+
+    Encode is per item ON PURPOSE (round 6, measured): a vectorized
+    UCS4-view encoder beat this listcomp by 17% on the clean fast path,
+    but the hardening it needed for correctness (sentinel before the
+    fixed-width cast for trailing NULs, container-consistent bytes
+    handling, a length-probe split so one huge item can't inflate the
+    O(n·max_len·4) padded matrix) cost more than the win — 0.84s vs
+    0.76s per 1M items — while the per-item codec has none of those
+    hazards and stays O(total bytes).  The length-bucketed kernel and
+    the scalar big-int path for long rows (~100x on multi-MB items) are
+    where the real vectorization lives; see BENCH.md "encoder
+    micro-bench"."""
+    arr = _coerce_batch(items)
+    if arr.dtype.kind == "O":
+        arr = _as_str_objects(arr)
+    enc = [b"\xfe\xff" + str(s).encode("utf-16-be") for s in arr]
+    out = np.empty((len(enc), depth), dtype=np.int64)
     rows32 = np.arange(depth, dtype=np.int32)
-    for sel, buf, L in encoded_buckets(items, "utf-16-be", prefix=b"\xfe\xff"):
+    for sel, buf, L in bucket_encoded(enc):
         h1 = murmur2_32_fixed(buf, int(L), 0)
         h2 = murmur2_32_fixed(buf, int(L), h1)
         with np.errstate(over="ignore"):

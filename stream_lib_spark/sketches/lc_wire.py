@@ -27,17 +27,12 @@ def _murmur32_items(items) -> np.ndarray:
     # near-free for ASCII; the U-cast chain is not), so this path keeps
     # the listcomp while the UTF-16 path (cms_wire.encoded_matrix) uses
     # the vectorized encoder, which wins there.
+    from .cms_wire import bucket_encoded
+
     enc = [str(s).encode("utf-8") for s in items]
-    lengths = np.array([len(b) for b in enc], dtype=np.int64)
     out = np.empty(len(enc), dtype=np.int32)
-    enc_arr = np.array(enc, dtype=object)
-    for L in np.unique(lengths):
-        sel = np.nonzero(lengths == L)[0]
-        buf = (
-            np.frombuffer(b"".join(enc_arr[sel]), dtype=np.uint8).reshape(len(sel), int(L))
-            if L else np.empty((len(sel), 0), dtype=np.uint8)
-        )
-        out[sel] = murmur2_32_fixed(buf, int(L), -1)
+    for sel, buf, L in bucket_encoded(enc):
+        out[sel] = murmur2_32_fixed(buf, L, -1)
     return out
 
 

@@ -453,15 +453,15 @@ class ReferenceFamilyCTE:
         # RAW-string semantics (code-review r6 #2): no fixed-width U
         # cast here — numpy's U storage strips trailing U+0000, which
         # would collapse distinct raw items ('x\x00' vs 'x') and
-        # diverge from what the JVM reference stores.  Object batches
-        # pass through as-is (one cheap identity scan; per-item str()
-        # only if non-str objects are actually present); numeric
+        # diverge from what the JVM reference stores.  The shared
+        # cms_wire coercion keeps the rules in ONE place: lists/bytes →
+        # object + str() reprs (container-independent state), numeric
         # batches C-cast (their reprs can't contain NUL).
-        arr = items if isinstance(items, np.ndarray) else np.asarray(items, dtype=object)
+        from .cms_wire import _as_str_objects, _coerce_batch
+
+        arr = _coerce_batch(items)
         if arr.dtype.kind == "O":
-            vals = arr.tolist()
-            if any(type(x) is not str for x in vals):
-                vals = [str(x) for x in vals]
+            vals = _as_str_objects(arr).tolist()
         elif arr.dtype.kind == "U":
             vals = arr.tolist()
         else:

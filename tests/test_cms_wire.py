@@ -79,53 +79,50 @@ def test_split_merge_equals_whole():
     assert merged.to_bytes() == blob
 
 
-def test_encoded_matrix_edge_parity():
-    """Round 6: the vectorized UCS4-view encoder must agree byte-for-
-    byte with per-item codecs on every edge that ever bit us — trailing
-    NUL (numpy U storage strips it without the sentinel), interior NUL,
-    U+0100 (UTF-16-BE low byte 0x00), astral chars (surrogate pairs via
-    the slow-row fallback), CJK, empty strings, and numeric coercion."""
-    from stream_lib_spark.sketches.cms_wire import encoded_matrix
+def test_string_hash_buckets_edge_parity():
+    """Round 6: the production bucket path must agree with a direct
+    per-item reference computation on every edge that ever bit us —
+    trailing NUL (a fixed-width numpy cast would strip it), interior
+    NUL, U+0100 (UTF-16-BE low byte 0x00), astral chars, CJK, empty
+    strings, and numeric coercion."""
+    from stream_lib_spark.sketches.cms_wire import _murmur2_32_py, string_hash_buckets
 
-    tricky = ["", "a", "abĀ", "Ā", "x\x00", "\x00", "inner\x00nul",
-              "emoji \U0001F600 mixed", "Ā˂Ȁ", "plain", "Ā" * 7,
-              "ünïcødé", "日本語テキスト"]
-    items = np.array(tricky + [f"user-{i}" for i in range(200)], dtype=object)
+    tricky = ["", "a", "ab\u0100", "\u0100", "x\x00", "\x00", "inner\x00nul",
+              "emoji \U0001F600 mixed", "\u0100" * 7, "plain",
+              "\u00fcn\u00efc\u00f8d\u00e9", "\u65e5\u672c\u8a9e"]
+    items = tricky + [f"user-{i}" for i in range(200)] + list(range(50))
+    got = string_hash_buckets(items, 5, 997)
+    rows32 = np.arange(5, dtype=np.int32)
+    for i, s in enumerate(items):
+        b = b"\xfe\xff" + str(s).encode("utf-16-be")
+        h1 = _murmur2_32_py(b, len(b), 0)
+        h2 = _murmur2_32_py(b, len(b), h1)
+        with np.errstate(over="ignore"):
+            v = np.int32(h1) + rows32 * np.int32(h2)
+        assert (got[i] == np.abs(v.astype(np.int64)) % 997).all(), (i, s)
 
-    for encoding, prefix in (("utf-16-be", b"\xfe\xff"), ("utf-8", b"")):
-        mat, lengths = encoded_matrix(items, encoding, prefix=prefix)
-        for i, s in enumerate(items):
-            want = prefix + str(s).encode(encoding)
-            got = mat[i, : lengths[i]].tobytes()
-            assert got == want, (encoding, i, s, got, want)
-
-    # numeric arrays coerce like str()
-    mat, lengths = encoded_matrix(np.arange(50, dtype=np.int64), "utf-8")
-    assert mat[7, : lengths[7]].tobytes() == b"7"
-    assert mat[42, : lengths[42]].tobytes() == b"42"
-
-    # lone surrogate: real codec raises, matching the old per-item path
+    # lone surrogate: the real codec raises (never silently mis-hashes)
     import pytest as _pytest
 
     with _pytest.raises(UnicodeEncodeError):
-        encoded_matrix(np.array(["bad\ud800tail"], dtype=object), "utf-16-be")
+        string_hash_buckets(["bad\ud800tail"], 2, 97)
 
 
-def test_encoded_buckets_long_tail_split_and_scalar_murmur():
-    """Code-review r6 #5: one huge item in a large batch must not
-    inflate the padded-UCS4 matrix (O(n*max_len*4)) — long items split
-    into the per-item codec tail, and the murmur kernel's scalar
-    big-int path handles long few-row buckets.  Parity vs the per-item
-    reference on a mixed batch; scalar==vector parity on random rows."""
+def test_long_item_split_and_scalar_murmur():
+    """Code-review r6 #5: huge items must not blow up batch memory
+    (bucket_encoded is O(total bytes)), and the murmur kernel's scalar
+    big-int path handles long few-row buckets bit-identically (~100x
+    faster than the numpy-scalar-per-4-bytes loop)."""
     from stream_lib_spark.sketches.cms_wire import (
         _murmur2_32_py,
-        encoded_buckets,
         murmur2_32_fixed,
         string_hash_buckets,
     )
 
     rng = np.random.RandomState(11)
-    for L in (4096, 4097, 10001):
+    # L mod 4 covers all four tail residues incl. the sign-extended
+    # 2- and 3-byte branches (code-review r6 pass 2 #7)
+    for L in (4096, 4097, 4098, 4099, 10001):
         buf = rng.randint(0, 256, size=(2, L)).astype(np.uint8)
         big = np.vstack([buf] * 201)  # 402 rows -> vector path
         for seed in (-1, 0, 987654321):
@@ -133,20 +130,49 @@ def test_encoded_buckets_long_tail_split_and_scalar_murmur():
             sc = murmur2_32_fixed(buf, L, seed)  # 2 rows -> scalar path
             assert (sc == vec[:2]).all()
 
-    items = np.array(
-        [f"user-{i}" for i in range(5000)] + ["長い" * 40_000, "x" * 99_999],
-        dtype=object)
-    got = string_hash_buckets(items, 4, 100_003)
-    want = np.empty_like(got)
-    rows32 = np.arange(4, dtype=np.int32)
-    for i, s in enumerate(items):
-        b = b"\xfe\xff" + str(s).encode("utf-16-be")
+    import time
+    import tracemalloc
+
+    items = np.array([f"user-{i}" for i in range(100_000)]
+                     + ["\u9577\u3044" * 40_000, "z" * 2_000_000], dtype=object)
+    tracemalloc.start()
+    t0 = time.time()
+    got = string_hash_buckets(items, 3, 100_003)
+    wall, peak = time.time() - t0, tracemalloc.get_traced_memory()[1]
+    tracemalloc.stop()
+    assert peak < 500 * 2**20, f"memory blow-up: {peak/2**20:.0f} MiB"
+    assert wall < 120, f"long-item path too slow: {wall:.1f}s"  # ~3s clean;
+    # generous bound: VM contention varies 1.5-4x and the pre-fix
+    # behavior was ~57s CLEAN, so 120 still catches a regression
+    rows32 = np.arange(3, dtype=np.int32)
+    for i in (-2, -1, 0):
+        b = b"\xfe\xff" + str(items[i]).encode("utf-16-be")
         h1 = _murmur2_32_py(b, len(b), 0)
         h2 = _murmur2_32_py(b, len(b), h1)
         with np.errstate(over="ignore"):
             v = np.int32(h1) + rows32 * np.int32(h2)
-        want[i] = np.abs(v.astype(np.int64)) % 100_003
-    assert (got == want).all()
-    # the generator actually split: some bucket came from the tail path
-    Ls = [L for _, _, L in encoded_buckets(items, "utf-16-be", prefix=b"\xfe\xff")]
-    assert max(Ls) > 100_000
+        assert (got[i] == np.abs(v.astype(np.int64)) % 100_003).all()
+
+
+def test_container_independent_coercion():
+    """Code-review r6 pass 2 #2/#3: the same logical items must hash /
+    count identically whether they arrive as a list, an object array,
+    or an S-dtype (bytes) array — bytes land on str() repr semantics
+    in every container."""
+    from stream_lib_spark.sketches.cms_wire import string_hash_buckets
+    from stream_lib_spark.sketches.reference_family import ReferenceFamilyCTE
+
+    as_list = [b"abc", b"def"]
+    as_obj = np.array(as_list, dtype=object)
+    as_s = np.array(as_list)  # S-dtype
+    outs = [string_hash_buckets(c, 3, 1009).tobytes() for c in (as_list, as_obj, as_s)]
+    assert outs[0] == outs[1] == outs[2]
+    # repr semantics, matching str(bytes)
+    assert (string_hash_buckets(["b'abc'"], 3, 1009) == string_hash_buckets([b"abc"], 3, 1009)).all()
+
+    ctes = []
+    for c in (as_list, as_obj, as_s):
+        sk = ReferenceFamilyCTE(tipping_point=100, builder="lc", size=64)
+        sk.update_batch(c)
+        ctes.append(sk.to_bytes())
+    assert ctes[0] == ctes[1] == ctes[2]
