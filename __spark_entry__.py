@@ -473,6 +473,48 @@ def q_decontamination_overlap(spark, sf_dir):
     return ngram_contamination(docs, probes, n=8)
 
 
+def _pii_augmented_docs(spark, sf_dir):
+    """documents with deterministic PII planted (email on doc_id%7,
+    phone on %11, IP on %13) so the screen counts are nontrivial — the
+    SAME concatenation is SQL, so the oracle rebuilds identical text."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                            F.lit("@example.com"))).otherwise(""),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" call +555-123-4567")).otherwise(""),
+            F.when(F.col("doc_id") % 13 == 0,
+                   F.concat(F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+                            F.lit(".25"))).otherwise(""),
+        ).alias("text"),
+    )
+
+
+def q_pii_screen(spark, sf_dir):
+    """PII screen + redaction gate (round 6): per-pattern match totals,
+    flagged-doc count and the redaction character delta over documents
+    with deterministically planted PII — the DuckDB oracle runs the
+    IDENTICAL regexes (RE2/Java-common syntax) on the identically
+    rebuilt text, so every number is exact."""
+    _ship(spark)
+    from stream_lib_spark.textops import pii_screen, redact_pii
+
+    aug = _pii_augmented_docs(spark, sf_dir)
+    scr = pii_screen(aug).agg(
+        F.sum("n_email").alias("total_emails"),
+        F.sum("n_phone").alias("total_phones"),
+        F.sum("n_ip").alias("total_ips"),
+        F.sum(F.col("has_pii").cast("long")).alias("docs_with_pii"),
+        F.count("*").alias("n_docs"),
+    )
+    red = redact_pii(aug).agg(
+        F.sum("redaction_char_delta").alias("total_char_delta"))
+    return scr.crossJoin(red)
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style repetition quality signals (top-2-gram share,
     duplicate-gram fraction) on a deterministic doc subset — exact
@@ -1849,6 +1891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_parity_gates": q_streaming_parity_gates,
         "split_gates": q_split_gates,
         "snapshot_provider_gates": q_snapshot_provider_gates,
+        "pii_screen": q_pii_screen,
         "ivf_ann_topk": q_ivf_ann_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "transcript_tool_topk": q_transcript_tool_topk,
@@ -2022,6 +2065,27 @@ def oracle_sql() -> dict[str, str]:
             "  UNION ALL SELECT 'windowed', strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S'), "
             "  CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events GROUP BY 2"
             ") ORDER BY gate, grp"
+        ),
+        "pii_screen": (
+            "WITH aug AS (SELECT doc_id, COALESCE(text, '') "
+            "  || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END "
+            "  || CASE WHEN doc_id % 11 = 0 THEN ' call +555-123-4567' ELSE '' END "
+            "  || CASE WHEN doc_id % 13 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.25' ELSE '' END "
+            "  AS text FROM documents), "
+            "c AS (SELECT doc_id, "
+            "  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email, "
+            "  len(regexp_extract_all(text, '\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}')) AS n_phone, "
+            "  len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_ip, "
+            "  length(regexp_replace(regexp_replace(regexp_replace(text, "
+            "    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'), "
+            "    '\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}', '[PHONE]', 'g'), "
+            "    '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '[IP]', 'g')) "
+            "  - length(text) AS delta FROM aug) "
+            "SELECT CAST(SUM(n_email) AS BIGINT) AS total_emails, "
+            "CAST(SUM(n_phone) AS BIGINT) AS total_phones, "
+            "CAST(SUM(n_ip) AS BIGINT) AS total_ips, "
+            "CAST(SUM(CASE WHEN n_email + n_phone + n_ip > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii, "
+            "COUNT(*) AS n_docs, CAST(SUM(delta) AS BIGINT) AS total_char_delta FROM c"
         ),
         "snapshot_provider_gates": (
             "SELECT * FROM (VALUES ('commit_ids_match_captures', TRUE), "

@@ -931,6 +931,52 @@ def ngram_contamination(docs: DataFrame, probes: DataFrame, n: int = 8,
 
 # ------------------------------------------------- repetition signals
 
+# PII surface patterns (round 6): deliberately simple, RE2/Java-common
+# syntax so the DuckDB oracle runs the IDENTICAL expressions — a
+# production deployment swaps in its own pattern pack, the Spark shape
+# (pure JVM regex columns, codegen, no UDF) is what's load-bearing.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}",
+    "ip": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_screen(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Per-document counts of common PII surface patterns plus the
+    training-exclusion flag — the screen a training-data pipeline runs
+    before a corpus ships.  Pure JVM ``regexp_count`` columns
+    (whole-stage codegen; the regex scan parallelizes perfectly and
+    shuffles nothing)."""
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    out = docs.select(id_col, *counts)
+    total = None
+    for name in PII_PATTERNS:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    return out.withColumn("has_pii", total > 0)
+
+
+def redact_pii(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Replace every PII match with a typed placeholder token —
+    chained JVM ``regexp_replace`` (replaces ALL occurrences, matching
+    the oracle's 'g' flag), emitting the redacted text plus the net
+    character delta so a pipeline can audit redaction volume."""
+    redacted = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        redacted = F.regexp_replace(redacted, pat, f"[{name.upper()}]")
+    return docs.select(
+        id_col,
+        redacted.alias("text_redacted"),
+        (F.length(redacted) - F.length(text_col)).alias("redaction_char_delta"),
+    )
+
+
 def repetition_stats(docs: DataFrame, n: int = 2,
                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Gopher-style repetition quality signals per document: total word

@@ -364,3 +364,33 @@ def test_minhash_candidate_count_matches_join(spark, docs):
     )
     assert n == joined
     assert n > 0  # the fixture plants near-dups, so buckets collide
+
+
+def test_pii_screen_and_redact(spark):
+    """PII screen + redaction (round 6): pattern counts, the exclusion
+    flag, and redaction deltas on hand-built rows with known answers;
+    clean text passes through redaction unchanged."""
+    from stream_lib_spark.textops import pii_screen, redact_pii
+
+    rows = [
+        (1, "reach me at alice@example.com or bob.smith@mail.co"),
+        (2, "call +555-123-4567 now"),
+        (3, "server at 10.0.0.1 and 192.168.1.255"),
+        (4, "perfectly clean text"),
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_screen(docs).collect()}
+    assert (got[1]["n_email"], got[1]["has_pii"]) == (2, True)
+    assert (got[2]["n_phone"], got[2]["has_pii"]) == (1, True)
+    assert (got[3]["n_ip"], got[3]["has_pii"]) == (2, True)
+    assert (got[4]["n_email"], got[4]["n_phone"], got[4]["n_ip"],
+            got[4]["has_pii"]) == (0, 0, 0, False)
+    assert got[5]["has_pii"] is None or got[5]["has_pii"] is False
+
+    red = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert red[1]["text_redacted"] == "reach me at [EMAIL] or [EMAIL]"
+    assert red[2]["text_redacted"] == "call [PHONE] now"
+    assert red[3]["text_redacted"] == "server at [IP] and [IP]"
+    assert red[4]["text_redacted"] == "perfectly clean text"
+    assert red[4]["redaction_char_delta"] == 0
