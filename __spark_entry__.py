@@ -515,6 +515,27 @@ def q_pii_screen(spark, sf_dir):
     return scr.crossJoin(red)
 
 
+def q_sequence_pack(spark, sf_dir):
+    """Sequence-packing gate (round 6): per-shard pack statistics of
+    the deterministic concat-stream chunking (budget=2048 tokens,
+    8 shards at gate scale) — the DuckDB oracle reruns the identical
+    md5 sharding + window running sum, so every (shard, n_docs,
+    n_packs, total_tokens) row is exact."""
+    _ship(spark)
+    from stream_lib_spark.textops import sequence_pack
+
+    docs = _t(spark, sf_dir, "documents")
+    packed = sequence_pack(docs, budget=2048, n_shards=8)
+    return (
+        packed.groupBy("shard")
+        .agg(F.count("*").alias("n_docs"),
+             F.countDistinct("pack_id").alias("n_packs"),
+             F.sum("n_tokens").alias("total_tokens"),
+             F.max("offset_tokens").alias("max_offset"))
+        .orderBy("shard")
+    )
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style repetition quality signals (top-2-gram share,
     duplicate-gram fraction) on a deterministic doc subset — exact
@@ -1892,6 +1913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_gates": q_split_gates,
         "snapshot_provider_gates": q_snapshot_provider_gates,
         "pii_screen": q_pii_screen,
+        "sequence_pack": q_sequence_pack,
         "ivf_ann_topk": q_ivf_ann_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "transcript_tool_topk": q_transcript_tool_topk,
@@ -2086,6 +2108,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(n_ip) AS BIGINT) AS total_ips, "
             "CAST(SUM(CASE WHEN n_email + n_phone + n_ip > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii, "
             "COUNT(*) AS n_docs, CAST(SUM(delta) AS BIGINT) AS total_char_delta FROM c"
+        ),
+        "sequence_pack": (
+            "WITH toks AS (SELECT doc_id, "
+            "  CAST(('0x' || substring(md5('pack-v1' || COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 8)) "
+            "    AS UBIGINT) % 8 AS shard, "
+            "  CASE WHEN trim(text) = '' OR text IS NULL THEN 0 "
+            "  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens "
+            "  FROM documents), "
+            "packed AS (SELECT doc_id, shard, n_tokens, "
+            "  COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id "
+            "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offset_tokens "
+            "  FROM toks) "
+            "SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_docs, "
+            "COUNT(DISTINCT CAST(FLOOR(offset_tokens / 2048.0) AS BIGINT)) AS n_packs, "
+            "CAST(SUM(n_tokens) AS BIGINT) AS total_tokens, "
+            "CAST(MAX(offset_tokens) AS BIGINT) AS max_offset "
+            "FROM packed GROUP BY shard ORDER BY shard"
         ),
         "snapshot_provider_gates": (
             "SELECT * FROM (VALUES ('commit_ids_match_captures', TRUE), "

@@ -17,7 +17,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-from pyspark.sql import DataFrame, Observation, functions as F, types as T
+from pyspark.sql import DataFrame, Observation, Window, functions as F, types as T
 
 from .hashing import splitmix64
 
@@ -1006,6 +1006,45 @@ def repetition_stats(docs: DataFrame, n: int = 2,
 
 
 # ------------------------------------------------- deterministic splits
+
+def sequence_pack(docs: DataFrame, budget: int, n_shards: int = 64,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  salt: str = "pack-v1") -> DataFrame:
+    """Deterministic concat-stream sequence packing — assign every
+    document a (shard, pack_id, offset) in fixed-``budget``-token
+    training sequences, the standard chunking step before an LLM
+    pretraining run tokenizes and concatenates its corpus.
+
+    Scale shape: a single global running sum would serialize on one
+    partition, so the stream is SHARDED first — shard = md5(salt||id)
+    mod ``n_shards``, a pure function of the id (rows added later never
+    reshuffle existing shards) — and each shard packs independently
+    under a window ordered by (id) with ``sum(tokens)`` as the running
+    offset: pack_id = offset // budget.  One shuffle (the window
+    partition-by), perfectly parallel across shards, deterministic
+    under any input order or cluster size.  Documents may straddle a
+    pack boundary exactly as a concat-then-chunk tokenizer would split
+    them.  SQL-portable end to end, so the gate's DuckDB oracle
+    reproduces every (shard, pack_id, offset) exactly."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    sid = F.coalesce(F.col(id_col).cast("string"), F.lit(""))
+    shard = (F.conv(F.substring(F.md5(F.concat(F.lit(salt), sid)), 1, 8), 16, 10)
+             .cast("long") % n_shards).alias("shard")
+    toks = docs.select(id_col, shard, token_count(text_col).alias("n_tokens"))
+    w = Window.partitionBy("shard").orderBy(id_col)
+    offset = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return toks.select(
+        id_col, "shard", "n_tokens",
+        offset.alias("offset_tokens"),
+        # explicit floor: a plain double->long cast truncates in Spark
+        # but ROUNDS in DuckDB, and the oracle must mirror exactly
+        F.floor(offset / budget).cast("long").alias("pack_id"),
+    )
+
 
 def deterministic_split(df: DataFrame, id_col: str,
                         fractions: dict[str, float],

@@ -394,3 +394,36 @@ def test_pii_screen_and_redact(spark):
     assert red[3]["text_redacted"] == "server at [IP] and [IP]"
     assert red[4]["text_redacted"] == "perfectly clean text"
     assert red[4]["redaction_char_delta"] == 0
+
+
+def test_sequence_pack_deterministic_and_sharded(spark):
+    """Sequence packing (round 6): offsets are a per-shard running sum
+    over id order, pack boundaries fall at exact budget multiples,
+    and the assignment is identical under any input order or
+    partitioning (pure function of the corpus)."""
+    from stream_lib_spark.textops import sequence_pack
+
+    rows = [(i, " ".join(f"w{j}" for j in range(5 + (i * 7) % 23))) for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sequence_pack(docs, budget=64, n_shards=4).orderBy("doc_id").collect()
+    b = sequence_pack(docs.orderBy(F.rand(seed=1)).repartition(7),
+                      budget=64, n_shards=4).orderBy("doc_id").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    # per-shard invariants: offset = running sum over ascending doc_id,
+    # pack_id = offset // budget
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(by_shard) == 4
+    for shard, docs_in in by_shard.items():
+        run = 0
+        for r in sorted(docs_in, key=lambda r: r["doc_id"]):
+            assert r["offset_tokens"] == run
+            assert r["pack_id"] == run // 64
+            run += r["n_tokens"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="budget"):
+        sequence_pack(docs, budget=0)
