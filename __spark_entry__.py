@@ -500,19 +500,21 @@ def q_pii_screen(spark, sf_dir):
     IDENTICAL regexes (RE2/Java-common syntax) on the identically
     rebuilt text, so every number is exact."""
     _ship(spark)
-    from stream_lib_spark.textops import pii_screen, redact_pii
+    from stream_lib_spark.textops import pii_screen
 
+    # ONE corpus scan: screen counts and the redaction delta share a
+    # single projection (two separate agg jobs would re-run all three
+    # regexes over the whole corpus twice)
     aug = _pii_augmented_docs(spark, sf_dir)
-    scr = pii_screen(aug).agg(
+    per_doc = pii_screen(aug, with_redaction_delta=True)
+    return per_doc.agg(
         F.sum("n_email").alias("total_emails"),
         F.sum("n_phone").alias("total_phones"),
         F.sum("n_ip").alias("total_ips"),
         F.sum(F.col("has_pii").cast("long")).alias("docs_with_pii"),
         F.count("*").alias("n_docs"),
+        F.sum("redaction_char_delta").alias("total_char_delta"),
     )
-    red = redact_pii(aug).agg(
-        F.sum("redaction_char_delta").alias("total_char_delta"))
-    return scr.crossJoin(red)
 
 
 def q_sequence_pack(spark, sf_dir):
@@ -1901,8 +1903,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/update_gate_history.py after each round).  Never-validated
     # gates (stamp 0 — e.g. this round's new family gates) run first,
     # then least-recently-green, so any future budget cut always falls
-    # on the MOST recently validated queries.  With 46 entries the
-    # registry now also fits the driver's 50-query count cap outright.
+    # on the MOST recently validated queries.  The registry (49 entries
+    # as of round 6 — keep it <= 50!) also fits the driver's 50-query
+    # count cap outright.
     base = {
         "cardinality_global_gates": q_cardinality_global_gates,
         "cms_freq_gates": q_cms_freq_gates,
@@ -2117,7 +2120,7 @@ def oracle_sql() -> dict[str, str]:
             "  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens "
             "  FROM documents), "
             "packed AS (SELECT doc_id, shard, n_tokens, "
-            "  COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id "
+            "  COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id NULLS FIRST "
             "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offset_tokens "
             "  FROM toks) "
             "SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_docs, "

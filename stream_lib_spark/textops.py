@@ -943,22 +943,32 @@ PII_PATTERNS = {
 
 
 def pii_screen(docs: DataFrame, id_col: str = "doc_id",
-               text_col: str = "text") -> DataFrame:
+               text_col: str = "text",
+               with_redaction_delta: bool = False) -> DataFrame:
     """Per-document counts of common PII surface patterns plus the
     training-exclusion flag — the screen a training-data pipeline runs
     before a corpus ships.  Pure JVM ``regexp_count`` columns
     (whole-stage codegen; the regex scan parallelizes perfectly and
-    shuffles nothing)."""
+    shuffles nothing).  ``with_redaction_delta=True`` adds the
+    ``redact_pii`` character delta in the SAME projection, so screening
+    and redaction auditing cost one corpus scan, not two."""
     counts = [
-        F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
+        # null text trivially has no PII: count 0, flag False — not a
+        # tri-state NULL that vanishes from both sides of a filter
+        F.coalesce(F.regexp_count(F.col(text_col), F.lit(pat)), F.lit(0))
+        .alias(f"n_{name}")
         for name, pat in PII_PATTERNS.items()
     ]
-    out = docs.select(id_col, *counts)
-    total = None
-    for name in PII_PATTERNS:
-        c = F.col(f"n_{name}")
-        total = c if total is None else total + c
-    return out.withColumn("has_pii", total > 0)
+    extra = []
+    if with_redaction_delta:
+        redacted = F.col(text_col)
+        for name, pat in PII_PATTERNS.items():
+            redacted = F.regexp_replace(redacted, pat, f"[{name.upper()}]")
+        extra = [F.coalesce(F.length(redacted) - F.length(text_col), F.lit(0))
+                 .alias("redaction_char_delta")]
+    out = docs.select(id_col, *counts, *extra)
+    return out.withColumn(
+        "has_pii", sum(F.col(f"n_{name}") for name in PII_PATTERNS) > 0)
 
 
 def redact_pii(docs: DataFrame, id_col: str = "doc_id",
@@ -972,8 +982,9 @@ def redact_pii(docs: DataFrame, id_col: str = "doc_id",
         redacted = F.regexp_replace(redacted, pat, f"[{name.upper()}]")
     return docs.select(
         id_col,
-        redacted.alias("text_redacted"),
-        (F.length(redacted) - F.length(text_col)).alias("redaction_char_delta"),
+        redacted.alias("text_redacted"),  # null text stays null
+        F.coalesce(F.length(redacted) - F.length(text_col), F.lit(0))
+        .alias("redaction_char_delta"),
     )
 
 
@@ -1007,6 +1018,17 @@ def repetition_stats(docs: DataFrame, n: int = 2,
 
 # ------------------------------------------------- deterministic splits
 
+def _md5_bucket32(id_col: str, salt: str):
+    """Stable 32-bit bucket of (salt, id) — first 8 md5 hex chars as an
+    integer Column.  THE shared hash behind deterministic_split /
+    stratified_split / sequence_pack (one copy: the 'same stable
+    bucket' contract between split and pack must never fork).  Null ids
+    hash as the empty string, so they get a deterministic bucket
+    instead of falling through NULL comparisons."""
+    sid = F.coalesce(F.col(id_col).cast("string"), F.lit(""))
+    return F.conv(F.substring(F.md5(F.concat(F.lit(salt), sid)), 1, 8), 16, 10)
+
+
 def sequence_pack(docs: DataFrame, budget: int, n_shards: int = 64,
                   id_col: str = "doc_id", text_col: str = "text",
                   salt: str = "pack-v1") -> DataFrame:
@@ -1025,14 +1047,25 @@ def sequence_pack(docs: DataFrame, budget: int, n_shards: int = 64,
     under any input order or cluster size.  Documents may straddle a
     pack boundary exactly as a concat-then-chunk tokenizer would split
     them.  SQL-portable end to end, so the gate's DuckDB oracle
-    reproduces every (shard, pack_id, offset) exactly."""
+    reproduces every (shard, pack_id, offset) exactly.
+
+    ``id_col`` must be UNIQUE (it is the document id): duplicate ids
+    leave the running sum's intra-tie order engine-defined.  Null ids
+    get a deterministic shard (hash of empty string) and order FIRST in
+    their shard (pinned explicitly — Spark defaults nulls-first, DuckDB
+    nulls-last; the oracle says NULLS FIRST to match).  Null/empty text
+    counts 0 tokens on both sides."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
-    sid = F.coalesce(F.col(id_col).cast("string"), F.lit(""))
-    shard = (F.conv(F.substring(F.md5(F.concat(F.lit(salt), sid)), 1, 8), 16, 10)
-             .cast("long") % n_shards).alias("shard")
-    toks = docs.select(id_col, shard, token_count(text_col).alias("n_tokens"))
-    w = Window.partitionBy("shard").orderBy(id_col)
+    if n_shards <= 0:
+        # with ANSI off, `% 0` yields NULL and the whole corpus would
+        # silently collapse into one NULL window partition
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    shard = (_md5_bucket32(id_col, salt).cast("long") % n_shards).alias("shard")
+    toks = docs.select(
+        id_col, shard,
+        F.coalesce(token_count(text_col), F.lit(0)).alias("n_tokens"))
+    w = Window.partitionBy("shard").orderBy(F.col(id_col).asc_nulls_first())
     offset = F.coalesce(
         F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0),
@@ -1071,9 +1104,7 @@ def deterministic_split(df: DataFrame, id_col: str,
         raise ValueError(f"split fractions must sum to 1, got {total}")
     # null ids hash as the empty string: they get a deterministic split
     # instead of silently falling through NULL comparisons to the last one
-    sid = F.coalesce(F.col(id_col).cast("string"), F.lit(""))
-    u = (F.conv(F.substring(F.md5(F.concat(F.lit(salt), sid)), 1, 8), 16, 10)
-         .cast("double") / F.lit(float(1 << 32)))
+    u = _md5_bucket32(id_col, salt).cast("double") / F.lit(float(1 << 32))
     expr = None
     acc = 0.0
     names = list(fractions)
@@ -1106,9 +1137,7 @@ def stratified_split(df: DataFrame, id_col: str, strata_col: str,
             raise ValueError(f"stratum {strat!r}: split names/order must match {names}")
         if abs(sum(fr.values()) - 1.0) > 1e-9:
             raise ValueError(f"stratum {strat!r}: fractions must sum to 1")
-    sid = F.coalesce(F.col(id_col).cast("string"), F.lit(""))
-    u = (F.conv(F.substring(F.md5(F.concat(F.lit(salt), sid)), 1, 8), 16, 10)
-         .cast("double") / F.lit(float(1 << 32)))
+    u = _md5_bucket32(id_col, salt).cast("double") / F.lit(float(1 << 32))
 
     def ladder(fr):
         expr, acc = None, 0.0

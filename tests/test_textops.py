@@ -386,7 +386,10 @@ def test_pii_screen_and_redact(spark):
     assert (got[3]["n_ip"], got[3]["has_pii"]) == (2, True)
     assert (got[4]["n_email"], got[4]["n_phone"], got[4]["n_ip"],
             got[4]["has_pii"]) == (0, 0, 0, False)
-    assert got[5]["has_pii"] is None or got[5]["has_pii"] is False
+    # null text: counts 0 and a REAL False (a tri-state NULL would
+    # vanish from both sides of a has_pii filter)
+    assert (got[5]["n_email"], got[5]["n_phone"], got[5]["n_ip"],
+            got[5]["has_pii"]) == (0, 0, 0, False)
 
     red = {r["doc_id"]: r for r in redact_pii(docs).collect()}
     assert red[1]["text_redacted"] == "reach me at [EMAIL] or [EMAIL]"
@@ -394,6 +397,14 @@ def test_pii_screen_and_redact(spark):
     assert red[3]["text_redacted"] == "server at [IP] and [IP]"
     assert red[4]["text_redacted"] == "perfectly clean text"
     assert red[4]["redaction_char_delta"] == 0
+    assert red[5]["text_redacted"] is None and red[5]["redaction_char_delta"] == 0
+
+    # single-projection variant carries the identical delta column
+    combo = {r["doc_id"]: r for r in
+             pii_screen(docs, with_redaction_delta=True).collect()}
+    for i in (1, 2, 3, 4, 5):
+        assert combo[i]["redaction_char_delta"] == red[i]["redaction_char_delta"]
+        assert combo[i]["has_pii"] == got[i]["has_pii"]
 
 
 def test_sequence_pack_deterministic_and_sharded(spark):
