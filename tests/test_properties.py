@@ -336,6 +336,16 @@ def test_scalar_murmur_equals_vector_property(data, seed, pad):
     vec = int(murmur2_32_fixed(buf, L, seed)[0])  # short → vector path
     assert _murmur2_32_py(data, L, seed) == vec
 
+    # and through the public entry's scalar DISPATCH (length >= 4096,
+    # few rows): tile the sample past the threshold and compare the
+    # dispatched result against the vector path on a wide batch
+    big = (data * (4096 // max(L, 1) + 1))[:4096 + pad]
+    BL = len(big)
+    row = np.frombuffer(big, dtype=np.uint8).reshape(1, BL)
+    dispatched = int(murmur2_32_fixed(row, BL, seed)[0])        # scalar path
+    wide = np.repeat(row, 70, axis=0)                            # 70*64 > BL
+    assert dispatched == int(murmur2_32_fixed(wide, BL, seed)[0])
+
 
 @settings(max_examples=10, deadline=None)
 @given(texts=st.lists(st.text(max_size=40), min_size=1, max_size=60),
