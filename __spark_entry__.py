@@ -437,6 +437,34 @@ def q_langid(spark, sf_dir):
     )
 
 
+def q_text_stats_gates(spark, sf_dir):
+    """Text-stats family gate (round 6 headroom: registry must stay
+    under the driver's 50-query cap): whitespace token stats, BPE-ish
+    token stats, and language-ID counts melted to uniform
+    (gate, key, metric, value) rows — all integer values, so the melt
+    has zero float-formatting risk.  Absorbs the former `token_stats`,
+    `bpe_token_stats` and `langid` gates (quality_buckets keeps its own
+    gate: its key is a rounded double)."""
+    _ship(spark)
+    from stream_lib_spark.textops import bpe_token_stats, token_stats
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def melt(df, gate, key_col, metrics):
+        return _union_all([
+            df.select(F.lit(gate).alias("gate"), F.col(key_col).alias("key"),
+                      F.lit(m).alias("metric"), F.col(m).cast("long").alias("value"))
+            for m in metrics
+        ])
+
+    tok = melt(token_stats(docs).drop("avg_tokens"), "tokens", "lang",
+               ["n_docs", "total_tokens"])
+    bpe = melt(bpe_token_stats(docs), "bpe", "lang",
+               ["n_docs", "total_bpe_tokens", "max_bpe_tokens"])
+    lid = melt(q_langid(spark, sf_dir), "langid", "lang_pred", ["n_docs"])
+    return _union_all([tok, bpe, lid]).orderBy("gate", "key", "metric")
+
+
 def q_fingerprint_dup_groups(spark, sf_dir):
     from stream_lib_spark.textops import doc_fingerprint
 
@@ -1705,6 +1733,9 @@ def q_image_features(spark, sf_dir):
 #   windowed_streaming_parity  -> streaming_parity_gates / windowed
 #   train_val_split            -> split_gates / flat
 #   stratified_split           -> split_gates / stratified
+#   token_stats                -> text_stats_gates / tokens (round-6b)
+#   bpe_token_stats            -> text_stats_gates / bpe
+#   langid                     -> text_stats_gates / langid
 
 
 def _union_all(dfs):
@@ -1903,7 +1934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/update_gate_history.py after each round).  Never-validated
     # gates (stamp 0 — e.g. this round's new family gates) run first,
     # then least-recently-green, so any future budget cut always falls
-    # on the MOST recently validated queries.  The registry (49 entries
+    # on the MOST recently validated queries.  The registry (47 entries
     # as of round 6 — keep it <= 50!) also fits the driver's 50-query
     # count cap outright.
     base = {
@@ -1942,14 +1973,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q_q1_pricing_summary,
         "sessionization": q_sessionization,
         "exact_dedup_documents": q_exact_dedup_documents,
-        "token_stats": q_token_stats,
+        "text_stats_gates": q_text_stats_gates,
         "quality_buckets": q_quality_buckets,
-        "langid": q_langid,
         "fingerprint_dup_groups": q_fingerprint_dup_groups,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "decontamination_overlap": q_decontamination_overlap,
         "repetition_stats": q_repetition_stats,
-        "bpe_token_stats": q_bpe_token_stats,
         "winnowing_dup_recall": q_winnowing_dup_recall,
         "ann_topk": q_ann_topk,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
@@ -2251,26 +2280,29 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) - COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS n_dups "
             "FROM documents GROUP BY source ORDER BY source"
         ),
-        "bpe_token_stats": (
-            "SELECT lang, COUNT(*) AS n_docs, "
-            "CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))) AS BIGINT) AS total_bpe_tokens, "
-            "CAST(MAX(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))) AS BIGINT) AS max_bpe_tokens "
-            "FROM documents GROUP BY lang ORDER BY lang"
-        ),
-        "token_stats": (
-            "SELECT lang, COUNT(*) AS n_docs, "
-            "CAST(SUM(CASE WHEN trim(text) = '' THEN 0 "
-            "ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) "
-            "AS total_tokens "
-            "FROM documents GROUP BY lang ORDER BY lang"
-        ),
         "quality_buckets": (
             f"SELECT ROUND({_QUALITY_SQL}, 1) AS q, COUNT(*) AS n_docs "
             "FROM documents GROUP BY 1 ORDER BY q"
         ),
-        "langid": (
-            f"SELECT {_langid_sql()} AS lang_pred, COUNT(*) AS n_docs "
-            "FROM documents GROUP BY 1 ORDER BY lang_pred"
+        "text_stats_gates": (
+            "WITH tok AS (SELECT lang, COUNT(*) AS n_docs, "
+            "  CAST(SUM(CASE WHEN trim(text) = '' THEN 0 "
+            "  ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS total_tokens "
+            "  FROM documents GROUP BY lang), "
+            "bpe AS (SELECT lang, COUNT(*) AS n_docs, "
+            "  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))) AS BIGINT) AS total_bpe_tokens, "
+            "  CAST(MAX(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))) AS BIGINT) AS max_bpe_tokens "
+            "  FROM documents GROUP BY lang), "
+            f"lid AS (SELECT {_langid_sql()} AS lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs "
+            "  FROM documents GROUP BY 1) "
+            "SELECT gate, key, metric, value FROM ("
+            "  SELECT 'tokens' AS gate, lang AS key, 'n_docs' AS metric, CAST(n_docs AS BIGINT) AS value FROM tok"
+            "  UNION ALL SELECT 'tokens', lang, 'total_tokens', total_tokens FROM tok"
+            "  UNION ALL SELECT 'bpe', lang, 'n_docs', CAST(n_docs AS BIGINT) FROM bpe"
+            "  UNION ALL SELECT 'bpe', lang, 'total_bpe_tokens', total_bpe_tokens FROM bpe"
+            "  UNION ALL SELECT 'bpe', lang, 'max_bpe_tokens', max_bpe_tokens FROM bpe"
+            "  UNION ALL SELECT 'langid', lang_pred, 'n_docs', n_docs FROM lid"
+            ") ORDER BY gate, key, metric"
         ),
         "fingerprint_dup_groups": (
             "SELECT COUNT(*) AS n_dup_groups, COALESCE(MAX(sz), 0) AS max_group_size FROM ("
