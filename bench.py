@@ -139,6 +139,23 @@ def bench_queries(spark) -> tuple[dict, dict]:
     run("q1_pricing", lambda: li.where(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(F.sum("l_quantity"), F.count("*")).collect())
+
+    # round-6 ops, timed as EXTRAS (excluded from the headline total so
+    # rounds stay like-for-like comparable on the same 14 queries)
+    from stream_lib_spark.textops import pii_screen, sequence_pack
+
+    def _extra(name, fn):
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        extras[name] = round(best, 3)
+
+    _extra("pii_screen_sec", lambda: pii_screen(docs, with_redaction_delta=True)
+           .agg(F.sum("n_email"), F.sum("redaction_char_delta")).collect())
+    _extra("sequence_pack_sec", lambda: sequence_pack(docs, budget=2048)
+           .agg(F.max("pack_id"), F.sum("n_tokens")).collect())
     return timings, extras
 
 
