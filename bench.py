@@ -167,7 +167,7 @@ SF1_GATES = [
     "q1_pricing_summary", "hll_users_by_type", "cardinality_global_gates",
     "cms_freq_gates", "quantile_rank_gates", "topk_event_types",
     "heavy_hitters_partkey", "bloom_custkey", "sessionization",
-    "exact_dedup_documents", "token_stats", "minhash_dedup_pairs",
+    "exact_dedup_documents", "text_stats_gates", "minhash_dedup_pairs",
     "ann_topk",
 ]
 
