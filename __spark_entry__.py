@@ -14,7 +14,7 @@ oracle for each.  Two oracle styles:
   returns the same exact value and TRUE — so a sketch drifting out of
   contract fails the value-hash gate, not just a soft check.
 
-Round 6: the registry is consolidated to 46 entries (each a named
+Round 6: the registry is consolidated to 47 entries (each a named
 family gate or standalone query) so the driver's 50-query correctness
 budget covers EVERY registered query in one artifact, and the dict is
 staleness-ordered (see ``queries()``).  EVERY entry is oracle-checked — the near-dup/ANN
