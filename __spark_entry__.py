@@ -1708,7 +1708,7 @@ def q_image_features(spark, sf_dir):
 # groups of same-shape single-row gates into one multi-row gate each;
 # every absorbed gate survives as a named `gate` row inside its family
 # (same pattern as `wire_interop`'s 12 per-kind rows), so the judge's
-# per-operator signal is preserved while the registry drops 61 -> 46.
+# per-operator signal is preserved while the registry drops 61 -> 47.
 #
 # Absorbed-gate map (old registry name -> family gate row):
 #   hll_orders_global          -> cardinality_global_gates / hll_orders

@@ -18,6 +18,7 @@ import glob
 import hashlib
 import json
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -109,6 +110,9 @@ def head_version(table_path: str) -> int:
         int(f[len("head-"):-len(".json")])
         for f in os.listdir(mdir)
         if f.startswith("head-") and f.endswith(".json")
+        # stray names like "head-tmp.json" must not break every
+        # subsequent commit/read — only all-digit versions count
+        and f[len("head-"):-len(".json")].isdigit()
     ]
     return max(versions, default=0)
 
@@ -129,6 +133,19 @@ def commit_snapshot(table_path: str, max_retries: int = 32) -> tuple[int, str]:
 
     mdir = _manifest_dir(table_path)
     os.makedirs(mdir, exist_ok=True)
+    # sweep tmp files leaked by writers that crashed between open() and
+    # the finally-unlink.  AGE-GATED: a live concurrent writer's tmp
+    # legitimately exists in mdir for the instant between its write and
+    # its os.link — unlinking it would make that link raise — so only
+    # tmps old enough that no live commit can own them are removed
+    # (a commit holds its tmp for milliseconds, never minutes)
+    now = time.time()
+    for stale in glob.glob(os.path.join(mdir, ".commit-*.tmp")):
+        try:
+            if now - os.stat(stale).st_mtime > 300:
+                os.unlink(stale)
+        except OSError:
+            pass
     for _ in range(max_retries):
         # OCC ordering matters (code-review r6 #4): read the base head
         # version BEFORE capturing.  If another writer commits after

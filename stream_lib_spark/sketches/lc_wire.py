@@ -21,12 +21,13 @@ from .cms_wire import murmur2_32_fixed
 
 
 def _murmur32_items(items) -> np.ndarray:
-    # measured choice (round 6, BENCH.md "encoder micro-bench"): for
-    # UTF-8 the per-item encode listcomp beats the vectorized UCS4-view
-    # pipeline 0.29s vs 0.50s per 1M ASCII items (str.encode is
-    # near-free for ASCII; the U-cast chain is not), so this path keeps
-    # the listcomp while the UTF-16 path (cms_wire.encoded_matrix) uses
-    # the vectorized encoder, which wins there.
+    # measured choice (round 6, BENCH.md "encoder micro-bench"): the
+    # per-item encode listcomp beats the vectorized UCS4-view pipeline
+    # 0.29s vs 0.50s per 1M ASCII items (str.encode is near-free for
+    # ASCII; the U-cast chain is not).  Both the UTF-8 path here and
+    # the UTF-16 path (cms_wire.string_hash_buckets) use per-item
+    # encode listcomps feeding the shared bucket_encoded kernel — the
+    # hardened vectorized encoder measured slower and was deleted.
     from .cms_wire import bucket_encoded
 
     enc = [str(s).encode("utf-8") for s in items]

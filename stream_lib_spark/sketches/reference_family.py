@@ -131,8 +131,8 @@ class ReferenceFamilyBloom:
     # ------------------------------------------------------------ update
 
     def update_batch(self, items: np.ndarray, counts: np.ndarray | None = None) -> "ReferenceFamilyBloom":
-        # no per-item coercion: string_hash_buckets casts the whole
-        # batch C-level (encoded_matrix) before the hash kernel
+        # no outer per-item coercion here: string_hash_buckets /
+        # _coerce_batch handle the whole batch before the hash kernel
         self.ref.add(items)
         return self
 
@@ -187,8 +187,8 @@ class _ReferenceFamilyCardinality:
         self.ref = _ref if _ref is not None else self._new(**params)
 
     def update_batch(self, items: np.ndarray, counts: np.ndarray | None = None):
-        # batch coercion happens C-level inside the hash kernels
-        # (encoded_matrix / lookup3 path), not per item here
+        # batch coercion happens inside the hash kernels
+        # (string_hash_buckets/_coerce_batch, lookup3 path), not here
         self.ref.add(items)
         return self
 

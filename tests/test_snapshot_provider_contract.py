@@ -197,3 +197,39 @@ def test_concurrent_writers_commit_race_one_winner_per_version(spark, tmp_path, 
                            f"{head['snapshot_id']}.json")) as fh:
         files = {os.path.basename(e["path"]) for e in _json.load(fh)["files"]}
     assert {f"writer-{i}.parquet" for i in range(n_writers)} <= files
+
+
+def test_stray_head_names_and_stale_tmps_do_not_break_commits(spark, tmp_path, provider):
+    """Hardening (advice r6): a stray non-numeric head name (manual
+    debugging artifact, partial copy) must not ValueError every
+    subsequent head_version/commit, and tmp files leaked by a crashed
+    committer are swept — but only when old enough that no live commit
+    can own them."""
+    from stream_lib_spark.jobs.snapshots import _manifest_dir
+
+    t = str(tmp_path / "t_stray")
+    _write_rows(spark, t, 0, 10)
+    v1, _ = provider.commit_snapshot(t)
+    assert v1 == 1
+    mdir = _manifest_dir(t)
+    # stray names: ignored, not fatal
+    for stray in ("head-tmp.json", "head-.json", "head-1abc.json"):
+        with open(os.path.join(mdir, stray), "w") as fh:
+            fh.write("{}")
+    assert provider.head_version(t) == 1
+    # leaked commit tmps: an OLD one (crashed writer) is swept, a FRESH
+    # one (live concurrent writer between write and link) is left alone
+    old_tmp = os.path.join(mdir, ".commit-deadbeef.tmp")
+    fresh_tmp = os.path.join(mdir, ".commit-cafebabe.tmp")
+    for p in (old_tmp, fresh_tmp):
+        with open(p, "w") as fh:
+            fh.write("{}")
+    past = os.stat(old_tmp).st_mtime - 3600
+    os.utime(old_tmp, (past, past))
+    v2, _ = provider.commit_snapshot(t)
+    assert v2 == 2
+    assert not os.path.exists(old_tmp)
+    assert os.path.exists(fresh_tmp)
+    os.unlink(fresh_tmp)
+    assert provider.head_version(t) == 2
+    provider.read_head(spark, t)
