@@ -1666,13 +1666,22 @@ def q_transcript_latency_quantiles(spark, sf_dir):
 
 
 def q_audio_features(spark, sf_dir):
-    """Multimodal audio plumbing gate: the fake decoder views the
-    SQL-derivable payload bytes as 16-bit LE amplitudes; outputs are
-    exact integers + one power-of-two mean, bit-exact in DuckDB."""
+    """Multimodal audio gate, two rows per id (round 7): the ``fake``
+    path views SQL-derivable payload bytes as 16-bit LE amplitudes; the
+    ``wav`` path decodes GENUINE RIFF/WAVE PCM-16 bytes
+    (multimodal.decode_wav) whose sample content is a closed-form
+    function of media_id, which the oracle re-derives arithmetically —
+    any chunk-walk or endianness bug in the real decoder mismatches."""
     _ship(spark)
-    from stream_lib_spark.multimodal import extract_audio_features, synthesize_media
+    from stream_lib_spark.multimodal import (
+        extract_audio_features, synthesize_media, synthesize_real_media)
 
-    return extract_audio_features(synthesize_media(spark, n=128)).orderBy("media_id")
+    fake = extract_audio_features(
+        synthesize_media(spark, n=128)).withColumn("src", F.lit("fake"))
+    real = extract_audio_features(
+        synthesize_real_media(spark, n=128), deterministic_fake=False,
+    ).withColumn("src", F.lit("wav"))
+    return fake.unionByName(real).orderBy("src", "media_id")
 
 
 def q_video_frame_sample(spark, sf_dir):
@@ -1688,15 +1697,24 @@ def q_video_frame_sample(spark, sf_dir):
 
 
 def q_image_features(spark, sf_dir):
-    """Multimodal decode plumbing gate: the deterministic fake table is
-    SQL-derivable (kind = id%3, payload = sha256 hex bytes), and the
-    feature math uses integer sums / power-of-two divisors, so the
-    DuckDB oracle reproduces every double bit-for-bit."""
+    """Multimodal image gate, two rows per id (round 7): the ``fake``
+    path tiles SQL-derivable sha bytes; the ``ppm`` path decodes
+    GENUINE binary-PPM (P6) bytes (multimodal.decode_ppm) whose pixel
+    content is a closed-form function of (media_id, y, x, channel) that
+    the oracle re-derives via generate_series — any header mis-parse or
+    raster offset slip in the real decoder mismatches.  Feature math is
+    integer sums / power-of-two divisors, bit-exact in DuckDB."""
     _ship(spark)
-    from stream_lib_spark.multimodal import extract_image_features, synthesize_media
+    from stream_lib_spark.multimodal import (
+        extract_image_features, synthesize_media, synthesize_real_media)
 
-    media = synthesize_media(spark, n=128)
-    return extract_image_features(media, deterministic_fake=True).orderBy("media_id")
+    fake = extract_image_features(
+        synthesize_media(spark, n=128), deterministic_fake=True,
+    ).withColumn("src", F.lit("fake"))
+    real = extract_image_features(
+        synthesize_real_media(spark, n=128), deterministic_fake=False,
+    ).withColumn("src", F.lit("ppm"))
+    return fake.unionByName(real).orderBy("src", "media_id")
 
 
 # ============================================================= family gates
@@ -2407,10 +2425,23 @@ def oracle_sql() -> dict[str, str]:
             "), s AS ("
             "  SELECT media_id, ascii(substring(h, 2*p - 1, 1)) + 256 * ascii(substring(h, 2*p, 1)) AS v "
             "  FROM hx, generate_series(1, 32) g(p)"
-            ") SELECT media_id, COUNT(*) AS n_samples, CAST(SUM(v) AS BIGINT) AS amp_sum, "
-            "CAST(MIN(v) AS BIGINT) AS amp_min, CAST(MAX(v) AS BIGINT) AS amp_max, "
-            "CAST(SUM(v) AS DOUBLE) / 32.0 AS mean_amp "
-            "FROM s GROUP BY media_id ORDER BY media_id"
+            "), fake AS ("
+            "  SELECT media_id, COUNT(*) AS n_samples, CAST(SUM(v) AS BIGINT) AS amp_sum, "
+            "  CAST(MIN(v) AS BIGINT) AS amp_min, CAST(MAX(v) AS BIGINT) AS amp_max, "
+            "  CAST(SUM(v) AS DOUBLE) / 32.0 AS mean_amp, 'fake' AS src "
+            "  FROM s GROUP BY media_id"
+            "), rj AS ("
+            "  SELECT i AS media_id, unnest(generate_series(0, 63 + i % 64)) AS j "
+            "  FROM generate_series(0, 127) t(i) WHERE i % 3 = 1"
+            "), rs AS ("
+            "  SELECT media_id, (media_id * 31 + j * 7) % 65536 - 32768 AS v FROM rj"
+            "), realr AS ("
+            "  SELECT media_id, COUNT(*) AS n_samples, CAST(SUM(v) AS BIGINT) AS amp_sum, "
+            "  CAST(MIN(v) AS BIGINT) AS amp_min, CAST(MAX(v) AS BIGINT) AS amp_max, "
+            "  CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_amp, 'wav' AS src "
+            "  FROM rs GROUP BY media_id"
+            ") SELECT * FROM fake UNION ALL SELECT * FROM realr "
+            "ORDER BY src, media_id"
         ),
         "video_frame_sample": (
             "WITH vids AS ("
@@ -2462,14 +2493,37 @@ def oracle_sql() -> dict[str, str]:
             "), a AS ("
             "  SELECT media_id, SUM(v) AS s, SUM(v*v) AS ss, MIN(v) AS mn, MAX(v) AS mx "
             "  FROM b GROUP BY media_id"
-            ") SELECT media_id, "
-            "CAST(s AS DOUBLE)/64.0 AS f0, CAST(s AS DOUBLE)/64.0 AS f1, "
-            "CAST(s AS DOUBLE)/64.0 AS f2, "
-            "CAST(64*ss - s*s AS DOUBLE)/4096.0 AS f3, "
-            "CAST(64*ss - s*s AS DOUBLE)/4096.0 AS f4, "
-            "CAST(64*ss - s*s AS DOUBLE)/4096.0 AS f5, "
-            "CAST(mn AS DOUBLE) AS f6, CAST(mx AS DOUBLE) AS f7 "
-            "FROM a ORDER BY media_id"
+            "), fake AS ("
+            "  SELECT media_id, "
+            "  CAST(s AS DOUBLE)/64.0 AS f0, CAST(s AS DOUBLE)/64.0 AS f1, "
+            "  CAST(s AS DOUBLE)/64.0 AS f2, "
+            "  CAST(64*ss - s*s AS DOUBLE)/4096.0 AS f3, "
+            "  CAST(64*ss - s*s AS DOUBLE)/4096.0 AS f4, "
+            "  CAST(64*ss - s*s AS DOUBLE)/4096.0 AS f5, "
+            "  CAST(mn AS DOUBLE) AS f6, CAST(mx AS DOUBLE) AS f7, 'fake' AS src "
+            "  FROM a"
+            "), px AS ("
+            "  SELECT i AS media_id, c, (i + 7*y + 13*x + 31*c) % 256 AS v "
+            "  FROM generate_series(0, 127) t(i), generate_series(0, 7) ys(y), "
+            "       generate_series(0, 7) xs(x), generate_series(0, 2) cs(c) "
+            "  WHERE i % 3 = 0"
+            "), pc AS ("
+            "  SELECT media_id, c, SUM(v) AS s, SUM(v*v) AS ss FROM px GROUP BY 1, 2"
+            "), pg AS ("
+            "  SELECT media_id, MIN(v) AS mn, MAX(v) AS mx FROM px GROUP BY 1"
+            "), realr AS ("
+            "  SELECT pc.media_id, "
+            "  MAX(CASE WHEN c = 0 THEN CAST(pc.s AS DOUBLE)/64.0 END) AS f0, "
+            "  MAX(CASE WHEN c = 1 THEN CAST(pc.s AS DOUBLE)/64.0 END) AS f1, "
+            "  MAX(CASE WHEN c = 2 THEN CAST(pc.s AS DOUBLE)/64.0 END) AS f2, "
+            "  MAX(CASE WHEN c = 0 THEN CAST(64*pc.ss - pc.s*pc.s AS DOUBLE)/4096.0 END) AS f3, "
+            "  MAX(CASE WHEN c = 1 THEN CAST(64*pc.ss - pc.s*pc.s AS DOUBLE)/4096.0 END) AS f4, "
+            "  MAX(CASE WHEN c = 2 THEN CAST(64*pc.ss - pc.s*pc.s AS DOUBLE)/4096.0 END) AS f5, "
+            "  CAST(MAX(pg.mn) AS DOUBLE) AS f6, CAST(MAX(pg.mx) AS DOUBLE) AS f7, "
+            "  'ppm' AS src "
+            "  FROM pc JOIN pg ON pg.media_id = pc.media_id GROUP BY pc.media_id"
+            ") SELECT * FROM fake UNION ALL SELECT * FROM realr "
+            "ORDER BY src, media_id"
         ),
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5), "

@@ -8,18 +8,94 @@ from pyspark.sql import functions as F
 from stream_lib_spark.multimodal import (
     FEATURE_COLS,
     DecoderUnavailable,
-    _decode_image_stub,
+    _decode_audio,
+    _decode_image,
+    decode_ppm,
+    decode_wav,
+    encode_ppm,
+    encode_wav,
     extract_image_features,
     sample_video_frames,
     synthesize_media,
+    synthesize_real_media,
 )
 
 
-def test_decode_stub_gates_real_path():
+def test_unknown_formats_raise_decoder_unavailable():
     with pytest.raises(DecoderUnavailable):
-        _decode_image_stub(b"\x01\x02", 8, 8, deterministic_fake=False)
-    img = _decode_image_stub(b"abcdef", 8, 8, deterministic_fake=True)
+        _decode_image(b"\x89PNG\r\n", 8, 8, deterministic_fake=False)
+    with pytest.raises(DecoderUnavailable):
+        _decode_audio(b"fLaC\0\0", deterministic_fake=False)
+    img = _decode_image(b"abcdef", 8, 8, deterministic_fake=True)
     assert img.shape == (8, 8, 3) and img.dtype == np.uint8
+
+
+def test_ppm_roundtrip_and_header_grammar():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+    # full header grammar: comments and arbitrary whitespace; raster
+    # whose FIRST byte is whitespace-valued (0x0A) must survive
+    img2 = img.copy()
+    img2[0, 0] = (0x0A, 0x20, 0x09)
+    hdr = b"P6 # comment\n#another\n 9\t5\n# last\n255\n"
+    assert (decode_ppm(hdr + img2.tobytes()) == img2).all()
+    with pytest.raises(DecoderUnavailable):
+        decode_ppm(b"P6\n2 2\n65535\n" + b"\0" * 24)  # 16-bit maxval
+    with pytest.raises(DecoderUnavailable):
+        decode_ppm(b"P6\n4 4\n255\n\0\0")  # truncated raster
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    samples = (np.arange(-100, 100, dtype=np.int16) * 163).astype(np.int16)
+    payload = encode_wav(samples, sample_rate=16000)
+    out, rate = decode_wav(payload)
+    assert rate == 16000 and (out == samples).all()
+    # a LIST chunk (odd-sized, so word-alignment matters) before data
+    # must be skipped, as real writers emit metadata chunks
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    data = samples.astype("<i2").tobytes()
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\0"  # pad byte
+            + b"data" + struct.pack("<I", len(data)) + data)
+    out2, rate2 = decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert rate2 == 8000 and (out2 == samples).all()
+    with pytest.raises(DecoderUnavailable):
+        decode_wav(encode_wav(samples)[:20])  # no data chunk survives
+    # stereo folds to channel-mean mono
+    stereo = np.column_stack([samples, samples + 2]).reshape(-1)
+    out3, _ = decode_wav(encode_wav(stereo).replace(
+        struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16),
+        struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)))
+    assert (out3 == samples + 1).all()
+
+
+def test_real_media_features_match_formula(spark):
+    """The REAL decode path end-to-end: PPM/WAV payloads encoded by the
+    fixture, decoded by the extractors, features equal to the closed-
+    form derivation (the same one the gate oracle uses)."""
+    from stream_lib_spark.multimodal import extract_audio_features
+
+    media = synthesize_real_media(spark, n=24)
+    imgs = extract_image_features(media, deterministic_fake=False) \
+        .toPandas().set_index("media_id")
+    for mid in imgs.index:
+        y, x, c = np.ogrid[0:8, 0:8, 0:3]
+        px = ((int(mid) + 7 * y + 13 * x + 31 * c) % 256).astype(np.int64)
+        s, ss = px.sum(axis=(0, 1)), (px * px).sum(axis=(0, 1))
+        assert list(imgs.loc[mid, ["f0", "f1", "f2"]]) == list(s / 64.0)
+        assert list(imgs.loc[mid, ["f3", "f4", "f5"]]) == list((64 * ss - s * s) / 4096.0)
+        assert imgs.loc[mid, "f6"] == px.min() and imgs.loc[mid, "f7"] == px.max()
+    auds = {r["media_id"]: r for r in
+            extract_audio_features(media, deterministic_fake=False).collect()}
+    for mid, r in auds.items():
+        j = np.arange(64 + mid % 64, dtype=np.int64)
+        w = (mid * 31 + j * 7) % 65536 - 32768
+        assert r["n_samples"] == len(w) and r["amp_sum"] == int(w.sum())
+        assert (r["amp_min"], r["amp_max"]) == (int(w.min()), int(w.max()))
+        assert r["mean_amp"] == w.sum() / float(len(w))
 
 
 def test_extract_image_features_exact(spark):
@@ -76,9 +152,9 @@ def test_audio_features_exact(spark):
 def test_decoder_unavailable_raises(spark):
     from stream_lib_spark.multimodal import DecoderUnavailable, extract_audio_features
 
-    media = synthesize_media(spark, n=6)
+    media = synthesize_media(spark, n=6)  # sha-hex payloads: not RIFF
     try:
         extract_audio_features(media, deterministic_fake=False).collect()
         raise AssertionError("expected decode failure")
     except Exception as e:  # Spark wraps the executor-side exception
-        assert "DecoderUnavailable" in str(type(e)) or "audio codecs" in str(e)
+        assert "DecoderUnavailable" in str(type(e)) or "no codec" in str(e)
