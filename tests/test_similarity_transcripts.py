@@ -218,3 +218,34 @@ def test_ivf_refined_recall_on_clustered_corpus(spark):
     c1 = ivf_centroids_refined(corpus.repartition(3), 16, 16, refine_iters=2)
     c2 = ivf_centroids_refined(corpus.repartition(11), 16, 16, refine_iters=2)
     assert c1.tobytes() == c2.tobytes()
+
+
+def test_auto_n_lists_scale_rule():
+    from stream_lib_spark.similarity import auto_n_lists
+
+    assert auto_n_lists(0) == 16 and auto_n_lists(400) == 20
+    assert auto_n_lists(1_000_000) == 1000
+    assert auto_n_lists(10**10) == 65536  # cap: centroid broadcast bound
+    assert auto_n_lists(10**10, max_lists=4096) == 4096
+    # monotone non-decreasing across decades (no layout regression as
+    # the corpus grows)
+    vals = [auto_n_lists(10**d) for d in range(2, 11)]
+    assert vals == sorted(vals)
+
+
+def test_ivf_topk_auto_layout_matches_explicit(spark):
+    """n_lists=None must behave exactly like passing auto_n_lists(N):
+    same deterministic centroids, same results."""
+    from stream_lib_spark.similarity import auto_n_lists, ivf_topk
+
+    import numpy as np
+
+    rs = np.random.RandomState(3)
+    rows = [(int(i), [float(x) for x in rs.normal(size=8)]) for i in range(300)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(rows[:4], corpus.schema)
+    nl = auto_n_lists(300)
+    assert nl == 17
+    got_auto = ivf_topk(corpus, queries, k=3, n_probe=17).collect()
+    got_expl = ivf_topk(corpus, queries, k=3, n_lists=nl, n_probe=17).collect()
+    assert sorted(map(tuple, got_auto)) == sorted(map(tuple, got_expl))
