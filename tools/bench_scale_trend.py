@@ -117,6 +117,8 @@ def run(spark) -> dict:
         minhash_lsh_pairs,
         ngram_candidate_count,
         ngram_jaccard_pairs,
+        sequence_pack,
+        sequence_pack_work_count,
         simhash_candidate_count,
         simhash_near_dups,
         winnowing_fingerprints,
@@ -161,6 +163,9 @@ def run(spark) -> dict:
         # over the same projections their joins use
         "simhash_dedup": lambda d: simhash_candidate_count(d),
         "ngram_jaccard": lambda d: ngram_candidate_count(d, n=3),
+        # round 7 (judge r6 #5): tokens entering the per-shard running
+        # sums — sequence_pack's exact window input volume
+        "sequence_pack": lambda d: sequence_pack_work_count(d),
     }
     for name, d1, d10, fn in [
         ("minhash_dedup", docs1, docs10,
@@ -173,6 +178,9 @@ def run(spark) -> dict:
          lambda d: simhash_near_dups(d, hamming_max=3).count()),
         ("ngram_jaccard", docs1, docs10,
          lambda d: ngram_jaccard_pairs(d, n=3, threshold=0.8).count()),
+        ("sequence_pack", docs1, docs10,
+         lambda d: sequence_pack(d, budget=2048)
+         .agg(F.max("pack_id"), F.sum("n_tokens")).collect()),
     ]:
         attempts = []
         for _ in range(2):  # outer retry: VM contention windows can
