@@ -361,6 +361,9 @@ def main():
     # reducer task times for row-shuffle vs salted vs two-level, plus
     # byte-identity of the merged state — see tools/bench_skew.py
     skew_out = None if "--no-skew" in sys.argv else _section("tools/bench_skew.py")
+    # estimator error across cardinality decades 10^2..10^7 (reference
+    # TestAndGraphResults analog, round 7) — pure numpy, no JVM
+    sweep_out = None if "--no-sweep" in sys.argv else _section("tools/bench_error_sweep.py")
     out = {
         "metric": "sketch_bench_total",
         "value": round(sum(timings.values()), 3),
@@ -375,6 +378,8 @@ def main():
         out["scale_trend"] = trend_out
     if skew_out is not None:
         out["skew"] = skew_out
+    if sweep_out is not None:
+        out["error_sweep"] = sweep_out
     print(json.dumps(out))
 
 
