@@ -47,6 +47,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _copy_parquet(table_path: str, dst_dir: str) -> None:
+    """Copy a parquet table into ``dst_dir`` whether it is a single file
+    (the driver's sf0.x testdata) or a directory of part files (any
+    Spark-written table, e.g. the sf1 blow-up) — the streaming gates
+    feed a file-source stream from the copy.  Caught by the first
+    full-registry sf1 smoke: ``shutil.copy`` on a directory raised
+    EISDIR and failed ``streaming_parity_gates`` at 10x."""
+    import shutil
+
+    if os.path.isdir(table_path):
+        for f in sorted(os.listdir(table_path)):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(table_path, f), dst_dir)
+    else:
+        shutil.copy(table_path, dst_dir)
+
+
 def _ship(spark):
     from stream_lib_spark.jobs.session import ensure_shipped
 
@@ -337,13 +354,22 @@ def q_heavy_hitters_partkey(spark, sf_dir):
 
 def q_keyed_topk_users(spark, sf_dir):
     """KEYED Space-Saving gate (groupBy → applyInPandas explode path):
-    top-3 users per event_type; capacity exceeds the user domain (150 at
-    sf0.01), so the summary is exact and fully value-checked."""
+    top-3 users per event_type, fully value-checked.  Capacity is
+    derived from the observed user domain (next power of two above it,
+    floor 4096) so the summary stays EXACT at every scale factor — the
+    fixed capacity=4096 the gate used through r6 silently entered the
+    approximate regime at sf1 (10x user domain ≈ 15k) and failed the
+    first full-registry sf1 smoke.  The approximate regime is what
+    ``topk_event_types`` / ``heavy_hitters_partkey`` gate; this gate's
+    job is the exact value-check of the keyed explode path.  The extra
+    distinct-count job is gate-only, not part of the operator."""
     _ship(spark)
     from stream_lib_spark.functions import approx_topk
 
     ev = _t(spark, sf_dir, "events")
-    out = approx_topk(ev, "user_id", k=3, capacity=4096, keys=["event_type"])
+    n_users = ev.where(F.col("user_id").isNotNull()).select("user_id").distinct().count()
+    cap = max(4096, 1 << int(n_users).bit_length())
+    out = approx_topk(ev, "user_id", k=3, capacity=cap, keys=["event_type"])
     return (
         out.select("event_type", F.col("item").cast("long").alias("user_id"),
                    F.col("count").alias("cnt"), "rank")
@@ -1136,7 +1162,7 @@ def q_streaming_sketch_parity(spark, sf_dir):
     src = os.path.join(work, "src")
     os.makedirs(src)
     try:
-        shutil.copy(os.path.join(sf_dir, "events.parquet"), src)
+        _copy_parquet(os.path.join(sf_dir, "events.parquet"), src)
         stream = (spark.readStream.format("parquet").schema(ev.schema)
                   .option("maxFilesPerTrigger", 1).load(src))
         q = streaming_sketch_query(stream, "user_id", SketchSpec("hll", p=p),
@@ -1178,7 +1204,7 @@ def q_keyed_streaming_parity(spark, sf_dir):
     src = os.path.join(work, "src")
     os.makedirs(src)
     try:
-        shutil.copy(os.path.join(sf_dir, "events.parquet"), src)
+        _copy_parquet(os.path.join(sf_dir, "events.parquet"), src)
         stream = spark.readStream.format("parquet").schema(ev.schema).load(src)
         out = keyed_streaming_sketch(stream, ["event_type"], "user_id", spec)
         sink = f"keyed_gate_{uuid.uuid4().hex[:12]}"
@@ -1231,7 +1257,7 @@ def q_windowed_streaming_parity(spark, sf_dir):
     src = os.path.join(work, "src")
     os.makedirs(src)
     try:
-        shutil.copy(os.path.join(sf_dir, "events.parquet"), src)
+        _copy_parquet(os.path.join(sf_dir, "events.parquet"), src)
         stream = (spark.readStream.format("parquet").schema(ev.schema).load(src)
                   # watermarking requires TIMESTAMP (the table stores NTZ;
                   # session tz is pinned UTC so the wall times are identical)
@@ -1609,7 +1635,17 @@ def q_winnowing_dup_recall(spark, sf_dir):
     """Winnowing recall gate over planted near-copies: every sufficiently
     long doc_id<30 gets a tail-appended copy; the copy shares almost all
     winnowing fingerprints, so every planted pair MUST surface at
-    min_shared=10 — the oracle enumerates the planted set exactly."""
+    min_shared=10 — the oracle enumerates the planted set exactly.
+
+    Shingle length k=12 (not the library default 5): the synthetic
+    corpus draws from a ~30-word vocabulary, so 5-char shingles are
+    single word fragments and EVERY fingerprint goes corpus-hot at 10x
+    docs — the boilerplate doc-frequency cap (on by default, and
+    correct to keep on) then drops all of them and recall collapses
+    (first full-registry sf1 smoke: 23/28).  k=12 spans word
+    boundaries, making fingerprints content-bearing, which is also how
+    winnowing is deployed in practice (MOSS uses k≈25): verified 28/28
+    at sf1, 26/26 at sf0.1, 22/22 at sf0.01 with the cap on."""
     _ship(spark)
     from stream_lib_spark.textops import winnowing_similar_pairs
 
@@ -1620,7 +1656,7 @@ def q_winnowing_dup_recall(spark, sf_dir):
         F.concat("text", F.lit(" extra tail words appended")).alias("text"),
     )
     corpus = base.unionByName(planted)
-    pairs = winnowing_similar_pairs(corpus, min_shared=10)
+    pairs = winnowing_similar_pairs(corpus, k=12, min_shared=10)
     return (
         pairs.where((F.col("id_a") < 30) & (F.col("id_b") == F.col("id_a") + 1_000_000))
         .select("id_a", "id_b")
