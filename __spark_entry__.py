@@ -2093,22 +2093,38 @@ def _langid_sql():
     return expr
 
 
-def _simhash_oracle_sql() -> str:
-    """Brute-force SimHash oracle: recompute every doc's 64-bit simhash
-    in DuckDB from the SQL-portable md5 word hash (mirrors
-    textops.md5_word_hash + the strict-majority kernel bit-for-bit) and
-    enumerate all pairs with Hamming ≤ 3."""
+def _simhash_hash_cte_sql() -> str:
+    """The LINEAR prefix of the SimHash oracle: CTEs ``w → h → c → s``
+    recomputing every doc's 64-bit simhash in DuckDB from the
+    SQL-portable md5 word hash (mirrors textops.md5_word_hash + the
+    strict-majority kernel bit-for-bit).  ``s`` has (doc_id, hi, lo).
+    Shared by the full quadratic oracle below and the sf1 smoke's
+    partial oracle (bench.py), which only pays this linear part."""
     sums = ", ".join(f"SUM(CAST((hv >> {j}) & 1 AS BIGINT)) AS b{j}" for j in range(64))
     hi = " + ".join(f"(CASE WHEN 2*b{32 + j} > nw THEN {1 << j} ELSE 0 END)" for j in range(32))
     lo = " + ".join(f"(CASE WHEN 2*b{j} > nw THEN {1 << j} ELSE 0 END)" for j in range(32))
-    ham = ("bit_count(xor(CAST(a.hi AS UBIGINT), CAST(b.hi AS UBIGINT))) + "
-           "bit_count(xor(CAST(a.lo AS UBIGINT), CAST(b.lo AS UBIGINT)))")
     return (
-        "WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word "
+        "w AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word "
         "  FROM documents WHERE text IS NOT NULL), "
         "h AS (SELECT doc_id, CAST('0x' || substring(md5(word), 1, 16) AS UBIGINT) AS hv FROM w), "
         f"c AS (SELECT doc_id, COUNT(*) AS nw, {sums} FROM h GROUP BY doc_id), "
-        f"s AS (SELECT doc_id, CAST({hi} AS BIGINT) AS hi, CAST({lo} AS BIGINT) AS lo FROM c) "
+        f"s AS (SELECT doc_id, CAST({hi} AS BIGINT) AS hi, CAST({lo} AS BIGINT) AS lo FROM c)"
+    )
+
+
+_SIMHASH_HAM_SQL = (
+    "bit_count(xor(CAST(a.hi AS UBIGINT), CAST(b.hi AS UBIGINT))) + "
+    "bit_count(xor(CAST(a.lo AS UBIGINT), CAST(b.lo AS UBIGINT)))"
+)
+
+
+def _simhash_oracle_sql() -> str:
+    """Brute-force SimHash oracle: per-doc simhashes from the linear
+    CTE, then enumerate ALL pairs with Hamming ≤ 3 (quadratic — the sf1
+    smoke swaps in a partial oracle instead, see bench.py)."""
+    ham = _SIMHASH_HAM_SQL
+    return (
+        f"WITH {_simhash_hash_cte_sql()} "
         f"SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST({ham} AS INT) AS hamming "
         "FROM s a JOIN s b ON a.doc_id < b.doc_id "
         f"WHERE {ham} <= 3 ORDER BY id_a, id_b"

@@ -162,19 +162,50 @@ def bench_queries(spark) -> tuple[dict, dict]:
 SF1_DIR = "/tmp/bench_sf1"
 #: round 7 (judge r6 #1): the sf1 smoke runs the FULL registry — every
 #: queries() entry executes at 10x and compares against its exact
-#: DuckDB oracle, except the named entries below whose ORACLE (not the
-#: Spark query — that still runs, rows recorded) is brute-force
-#: quadratic at 10x and would dominate the smoke by hours.  Disclosed
-#: per the brief; the Spark plans still execute at 10x, so plan flips
-#: and crashes are caught even for these two.
-SF1_ORACLE_SKIP = {
-    "embedding_near_dups": (
-        "DuckDB oracle is all-pairs cosine over every embedding "
-        "(O(N^2)*dim ≈ 5e9 list_cosine_similarity calls at 10x)"),
-    "simhash_near_dups": (
-        "DuckDB oracle is all-pairs 64-bit Hamming compare "
-        "(O(N^2) ≈ 1.25e9 pairs at 10x docs)"),
-}
+#: DuckDB oracle, except the two entries below whose full oracle is
+#: brute-force quadratic at 10x (all-pairs cosine / all-pairs Hamming —
+#: hours of DuckDB).  Those two get a PARTIAL oracle instead of a
+#: rows-only pass: the Spark output is registered as a DuckDB view
+#: (``spark_out``) and checked linearly — every output pair re-verified
+#: from raw data (precision exact), plus a recall term (all planted
+#: pairs for embeddings; a deterministic doc sample brute-forced
+#: in-sample for simhash).  Every row of the partial-oracle result must
+#: be TRUE.
+def _sf1_partial_oracles() -> dict:
+    import __spark_entry__ as entrymod
+
+    ham = entrymod._SIMHASH_HAM_SQL
+    return {
+        "embedding_near_dups": (
+            "precision: every output pair re-scored from raw vectors must be >= 0.7; "
+            "recall: all 50 planted (id, id+1e6) pairs present",
+            "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "
+            "planted AS (SELECT vec_id + 1000000 AS vec_id, "
+            "  list_prepend(e[1] + 0.2, e[2:64]) AS e FROM base WHERE vec_id < 50), "
+            "allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted) "
+            "SELECT "
+            "(SELECT COUNT(*) = 0 FROM spark_out o "
+            "   JOIN allv a ON o.id_a = a.vec_id JOIN allv b ON o.id_b = b.vec_id "
+            "   WHERE list_cosine_similarity(a.e, b.e) < 0.7) AS precision_ok, "
+            "(SELECT COUNT(*) = 0 FROM "
+            "   (SELECT vec_id AS id_a, vec_id + 1000000 AS id_b FROM base WHERE vec_id < 50) p "
+            "   LEFT JOIN spark_out o USING (id_a, id_b) WHERE o.id_a IS NULL) AS planted_recall_ok",
+        ),
+        "simhash_near_dups": (
+            "precision: every output pair's Hamming recomputed from raw text must be <= 3 "
+            "and equal the reported value; recall: all in-sample pairs of a deterministic "
+            "~1% doc sample (doc_id % 97 = 0) brute-forced and required present",
+            f"WITH {entrymod._simhash_hash_cte_sql()}, "
+            "samp AS (SELECT * FROM s WHERE doc_id % 97 = 0) "
+            "SELECT "
+            "(SELECT COUNT(*) = 0 FROM spark_out o "
+            "   JOIN s a ON o.id_a = a.doc_id JOIN s b ON o.id_b = b.doc_id "
+            f"  WHERE ({ham}) > 3 OR ({ham}) <> o.hamming) AS precision_ok, "
+            "(SELECT COUNT(*) = 0 FROM samp a JOIN samp b ON a.doc_id < b.doc_id "
+            "   LEFT JOIN spark_out o ON o.id_a = a.doc_id AND o.id_b = b.doc_id "
+            f"  WHERE ({ham}) <= 3 AND o.id_a IS NULL) AS sample_recall_ok",
+        ),
+    }
 
 
 def materialize_sf1(spark, path: str = SF1_DIR) -> str:
@@ -248,9 +279,9 @@ def run_sf1_smoke(only: list[str] | None = None) -> dict:
     the blown-up tables and must match value-for-value (same
     canonicalization as tools/check_gate, stricter than the driver's
     hash).  Catches plans that silently degrade with input size (e.g.
-    AQE flipping a broadcast join to shuffle).  SF1_ORACLE_SKIP names
-    the only two entries whose ORACLE is quadratic at 10x: their Spark
-    side still executes (rows-only check, disclosed).  Fixture-based
+    AQE flipping a broadcast join to shuffle).  ``_sf1_partial_oracles``
+    covers the only two entries whose full oracle is quadratic at 10x
+    with a linear precision + recall check instead.  Fixture-based
     gates (multimodal, wire interop, streaming fixtures...) run
     identically at any sf — they're included so the artifact is one
     complete 47-gate pass, and cost little.  One-off disclosed run
@@ -271,6 +302,7 @@ def run_sf1_smoke(only: list[str] | None = None) -> dict:
             pat = f"{p}/*.parquet" if os.path.isdir(p) else p
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    partial = _sf1_partial_oracles()
     names = [n for n in qs if only is None or n in only]
     gates, ok_all = {}, True
     for name in names:
@@ -278,8 +310,14 @@ def run_sf1_smoke(only: list[str] | None = None) -> dict:
         spark_pdf = None
         try:
             spark_pdf = qs[name](spark, SF1_DIR).toPandas()
-            if name in SF1_ORACLE_SKIP:
-                ok, note = True, f"rows-only: {SF1_ORACLE_SKIP[name]}"
+            if name in partial:
+                desc, sql = partial[name]
+                con.register("spark_out", spark_pdf)
+                checks = con.sql(sql).df()
+                ok = bool(checks.all(axis=None))
+                note = f"partial oracle ({desc}): " + ", ".join(
+                    f"{c}={bool(checks[c].iloc[0])}" for c in checks.columns)
+                con.unregister("spark_out")
             else:
                 oracle_pdf = con.sql(oracles[name]).df()
                 ok, note = compare(spark_pdf, oracle_pdf, name), None
@@ -296,7 +334,8 @@ def run_sf1_smoke(only: list[str] | None = None) -> dict:
               f"rows={rec['rows']}", flush=True)
     spark.stop()
     return {"metric": "sf1_smoke", "sf": _sf() * 10, "all_ok": bool(ok_all),
-            "n_gates": len(names), "oracle_skips": dict(SF1_ORACLE_SKIP),
+            "n_gates": len(names),
+            "partial_oracles": {k: v[0] for k, v in partial.items()},
             "gates": gates}
 
 

@@ -383,30 +383,119 @@ def ivf_candidate_count(corpus: DataFrame, queries: DataFrame,
     return int(row["scanned"] or 0)
 
 
+def auto_lsh_planes(n_vectors: int, min_planes: int = 8,
+                    max_planes: int = 28) -> int:
+    """Per-band hyperplane count for the near-dup LSH, scale rule
+    (round 7 — the embedding analog of r6's simhash combo-key fix):
+    ``n_planes ≈ log2(N)``, so the ~2^planes buckets per band hold O(1)
+    vectors each and the random-collision candidate term stays ~O(N)
+    per band.  A fixture-sized constant (the old default 8 → 256
+    buckets) makes that term N²/256: measured 59M candidate pairs for
+    50k vectors at sf1 — quadratic death at corpus scale, exactly the
+    birthday-collision disease the simhash block keys had."""
+    import math
+
+    return max(min_planes, min(max_planes,
+                               int(round(math.log2(max(2, n_vectors))))))
+
+
+def auto_lsh_bands(threshold: float, n_planes: int,
+                   target_recall: float = 0.98, max_bands: int = 512) -> int:
+    """Band count holding the OR-construction recall at a STATED point:
+    a pair at the detection cosine ``s_detect = (1+threshold)/2`` (the
+    S-curve center — real near-dups sit well above the decision cut;
+    precision at the cut itself is exact via the cosine verify) agrees
+    with one hyperplane w.p. ``p = 1 - arccos(s_detect)/π`` (Charikar
+    2002), so per-band collision is p^planes and
+    ``bands = ln(1/(1-R)) / p^planes`` gives recall ≥ R at s_detect.
+    Bands grow as p^-planes ≈ N^(-log2 p) when planes track log2(N) —
+    the textbook sub-quadratic LSH exponent (total candidate work
+    ~N^(1+ρ), ρ = -log2(p); 0.15 at threshold 0.9, 0.28 at 0.7), which
+    is the honest scaling contract for similarity joins: linear in N
+    per band, sublinearly many bands."""
+    import math
+
+    p = 1.0 - math.acos(min(1.0, (1.0 + threshold) / 2.0)) / math.pi
+    need = math.log(1.0 / (1.0 - target_recall)) / max(p ** n_planes, 1e-12)
+    return max(1, min(max_bands, math.ceil(need)))
+
+
 def embedding_near_dup_pairs(corpus: DataFrame, dim: int, threshold: float = 0.9,
-                             n_planes: int = 8, n_bands: int = 12, seed: int = 11,
-                             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                             n_planes: int | None = None,
+                             n_bands: int | None = None, seed: int = 11,
+                             id_col: str = "vec_id", vec_col: str = "embedding",
+                             target_recall: float = 0.98) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: multi-band hyperplane LSH
-    buckets candidates (high threshold → high per-plane agreement →
-    high recall with few probes), exact cosine verifies.  The dedup
-    modality for embedding-indexed corpora: candidates come from an
-    equi-join on (band, signature), never a cross product."""
+    buckets candidates, exact cosine verifies.  The dedup modality for
+    embedding-indexed corpora: candidates come from an equi-join on
+    (band, signature), never a cross product.
+
+    Scale shape (round 7 rework):
+
+    - ``n_planes``/``n_bands`` default to the ``auto_lsh_planes`` /
+      ``auto_lsh_bands`` scale rules (buckets stay O(1)-sized, recall
+      pinned ≥ target_recall at the detection cosine) instead of
+      fixture-sized constants — the old fixed (8, 12) produced 59M
+      candidate pairs for 50k vectors (N²/256 birthday collisions).
+    - The candidate join carries ONLY (band, sig, id): the old plan
+      shuffled both 64-dim vectors through the join and the
+      (id_a,id_b) dedup, ~1 KB/row where 16 bytes suffice.  Vectors are
+      re-joined per side afterwards — two equi-joins on the id that AQE
+      broadcasts when the corpus is small and shuffles linearly when it
+      is not.
+    - ``embedding_candidate_count`` is the deterministic work counter
+      for this path (same derivation, counts instead of joins)."""
+    if n_planes is None or n_bands is None:
+        n = corpus.count()
+        n_planes = n_planes if n_planes is not None else auto_lsh_planes(n)
+        n_bands = (n_bands if n_bands is not None
+                   else auto_lsh_bands(threshold, n_planes, target_recall))
     sigs = hyperplane_signature(corpus, dim, n_planes, seed, vec_col, n_bands)
-    banded = sigs.select(
-        id_col, F.col(vec_col).alias("vec"),
-        F.posexplode("lsh_sigs").alias("band", "sig"),
-    )
-    a = banded.select(F.col(id_col).alias("id_a"), F.col("vec").alias("va"), "band", "sig")
-    b = banded.select(F.col(id_col).alias("id_b"), F.col("vec").alias("vb"), "band", "sig")
+    banded = sigs.select(id_col, F.posexplode("lsh_sigs").alias("band", "sig"))
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "sig")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "sig")
     cand = (
         a.join(b.hint("shuffle_hash"), ["band", "sig"])
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
 
     return (
-        cand.withColumn("cosine", _cos_udf("va", "vb"))
+        cand.join(va, "id_a").join(vb, "id_b")
+        .withColumn("cosine", _cos_udf("va", "vb"))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
         .orderBy("id_a", "id_b")
     )
+
+
+def embedding_candidate_count(corpus: DataFrame, dim: int,
+                              threshold: float = 0.9,
+                              n_planes: int | None = None,
+                              n_bands: int | None = None, seed: int = 11,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              target_recall: float = 0.98) -> int:
+    """Deterministic WORK counter for ``embedding_near_dup_pairs``: the
+    exact number of within-bucket candidate pairs the banded equi-join
+    generates (Σ over (band, sig) buckets of C(size, 2), before pair
+    dedup) — same signatures, same auto parameter derivation,
+    aggregated to one number instead of joined.  Expected growth per
+    10x corpus under auto parameters is ~10^(1+ρ), ρ = -log2(p_detect)
+    (sub-quadratic LSH exponent; see ``auto_lsh_bands``) — compare the
+    measured ratio against that prediction, not against 10x."""
+    if n_planes is None or n_bands is None:
+        n = corpus.count()
+        n_planes = n_planes if n_planes is not None else auto_lsh_planes(n)
+        n_bands = (n_bands if n_bands is not None
+                   else auto_lsh_bands(threshold, n_planes, target_recall))
+    sigs = hyperplane_signature(corpus, dim, n_planes, seed, vec_col, n_bands)
+    row = (
+        sigs.select(F.posexplode("lsh_sigs").alias("band", "sig"))
+        .groupBy("band", "sig").agg(F.count("*").alias("sz"))
+        .agg(F.sum(F.expr("sz * (sz - 1) / 2")).alias("cands"))
+        .collect()[0]
+    )
+    return int(row["cands"] or 0)

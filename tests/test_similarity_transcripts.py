@@ -249,3 +249,71 @@ def test_ivf_topk_auto_layout_matches_explicit(spark):
     got_auto = ivf_topk(corpus, queries, k=3, n_probe=17).collect()
     got_expl = ivf_topk(corpus, queries, k=3, n_lists=nl, n_probe=17).collect()
     assert sorted(map(tuple, got_auto)) == sorted(map(tuple, got_expl))
+
+
+def test_auto_lsh_planes_tracks_log2():
+    from stream_lib_spark.similarity import auto_lsh_planes
+
+    assert auto_lsh_planes(100) == 8          # clamped floor
+    assert auto_lsh_planes(50_000) == 16      # round(log2 50000)=16
+    assert auto_lsh_planes(10**9) == 28       # clamped ceiling
+    vals = [auto_lsh_planes(10**d) for d in range(2, 11)]
+    assert vals == sorted(vals)
+
+
+def test_auto_lsh_bands_recall_formula():
+    import math
+
+    from stream_lib_spark.similarity import auto_lsh_bands
+
+    # bands must grow when planes grow (to hold recall) and when the
+    # threshold drops (weaker per-plane agreement)
+    assert auto_lsh_bands(0.9, 16) > auto_lsh_bands(0.9, 8)
+    assert auto_lsh_bands(0.7, 12) > auto_lsh_bands(0.9, 12)
+    # and deliver the documented OR-construction recall at s_detect
+    for t, planes in [(0.9, 12), (0.7, 10)]:
+        b = auto_lsh_bands(t, planes, target_recall=0.98)
+        p = 1 - math.acos((1 + t) / 2) / math.pi
+        assert 1 - (1 - p ** planes) ** b >= 0.98
+
+
+def test_embedding_candidate_count_matches_join(spark):
+    """The work counter must equal the banded join's pre-dedup pair
+    count exactly (same signatures, same params)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from stream_lib_spark.similarity import (
+        embedding_candidate_count,
+        hyperplane_signature,
+    )
+
+    rs = np.random.RandomState(7)
+    rows = [(int(i), [float(x) for x in rs.normal(size=8)]) for i in range(200)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    counted = embedding_candidate_count(corpus, dim=8, n_planes=4, n_bands=3)
+    banded = hyperplane_signature(corpus, 8, 4, 11, "embedding", 3).select(
+        "vec_id", F.posexplode("lsh_sigs").alias("band", "sig"))
+    a = banded.select(F.col("vec_id").alias("id_a"), "band", "sig")
+    b = banded.select(F.col("vec_id").alias("id_b"), "band", "sig")
+    joined = a.join(b, ["band", "sig"]).where(F.col("id_a") < F.col("id_b")).count()
+    assert counted == joined > 0
+
+
+def test_embedding_near_dup_auto_matches_explicit(spark, emb):
+    """Auto (planes, bands) must behave exactly like passing the derived
+    values explicitly — same seeded hyperplanes, same pairs."""
+    from stream_lib_spark.similarity import (
+        auto_lsh_bands,
+        auto_lsh_planes,
+        embedding_near_dup_pairs,
+    )
+
+    corpus = emb.limit(300)
+    n = corpus.count()
+    pl, bd = auto_lsh_planes(n), auto_lsh_bands(0.9, auto_lsh_planes(n))
+    got_auto = embedding_near_dup_pairs(corpus, dim=64, threshold=0.9).collect()
+    got_expl = embedding_near_dup_pairs(
+        corpus, dim=64, threshold=0.9, n_planes=pl, n_bands=bd).collect()
+    assert sorted(map(tuple, got_auto)) == sorted(map(tuple, got_expl))

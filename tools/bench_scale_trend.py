@@ -111,7 +111,14 @@ def materialize_emb_10x(spark, path: str = PATH_EMB_10X):
 
 
 def run(spark) -> dict:
-    from stream_lib_spark.similarity import ivf_candidate_count, ivf_topk
+    from stream_lib_spark.similarity import (
+        auto_lsh_bands,
+        auto_lsh_planes,
+        embedding_candidate_count,
+        embedding_near_dup_pairs,
+        ivf_candidate_count,
+        ivf_topk,
+    )
     from stream_lib_spark.textops import (
         minhash_candidate_count,
         minhash_lsh_pairs,
@@ -166,6 +173,15 @@ def run(spark) -> dict:
         # round 7 (judge r6 #5): tokens entering the per-shard running
         # sums — sequence_pack's exact window input volume
         "sequence_pack": lambda d: sequence_pack_work_count(d),
+        # round 7: the sixth pair path — within-bucket candidate pairs
+        # of the embedding near-dup LSH under auto (planes, bands).
+        # NOTE this one is NOT expected to be ~10x: LSH similarity join
+        # is sub-quadratic, not linear — bands grow ~N^ρ (ρ = -log2 of
+        # the per-plane agreement at the detection cosine, ≈0.15 at
+        # threshold 0.9), so the predicted ratio is ~10^(1+ρ) ≈ 14x
+        # plus power-of-two bucket rounding; the row carries its own
+        # prediction to compare against.
+        "embedding_near_dup": lambda d: embedding_candidate_count(d, dim=64, threshold=0.9),
     }
     for name, d1, d10, fn in [
         ("minhash_dedup", docs1, docs10,
@@ -181,7 +197,12 @@ def run(spark) -> dict:
         ("sequence_pack", docs1, docs10,
          lambda d: sequence_pack(d, budget=2048)
          .agg(F.max("pack_id"), F.sum("n_tokens")).collect()),
+        ("embedding_near_dup", emb1, emb10,
+         lambda d: embedding_near_dup_pairs(d, dim=64, threshold=0.9).count()),
     ]:
+        # embedding_near_dup is sub-quadratic, NOT linear: its retry
+        # bar is the 10^(1+ρ) LSH prediction, not the linear ~8x one
+        ratio_bar = 20 if name == "embedding_near_dup" else 8
         attempts = []
         for _ in range(2):  # outer retry: VM contention windows can
             # inflate one measurement pair ~4x (see BENCH.md); both
@@ -190,7 +211,7 @@ def run(spark) -> dict:
             s10 = best(lambda: fn(d10))
             ratio = round(s10 / s1, 2) if s1 > 0 else None
             attempts.append({"sec_1x": s1, "sec_10x": s10, "ratio_10x": ratio})
-            if ratio is not None and ratio <= 8:
+            if ratio is not None and ratio <= ratio_bar:
                 break
         chosen = min(attempts, key=lambda a: a["ratio_10x"] or 1e9)
         out[name] = dict(chosen)
@@ -200,6 +221,17 @@ def run(spark) -> dict:
         out[name]["work_1x"] = w1
         out[name]["work_10x"] = w10
         out[name]["work_ratio_10x"] = round(w10 / w1, 2) if w1 else None
+        if name == "embedding_near_dup":
+            # predicted candidate growth under auto LSH params: linear
+            # per band x bands growing with planes (see auto_lsh_bands)
+            p1, p10 = emb1.count(), emb10.count()
+            pl1, pl10 = auto_lsh_planes(p1), auto_lsh_planes(p10)
+            b1 = auto_lsh_bands(0.9, pl1)
+            b10 = auto_lsh_bands(0.9, pl10)
+            pred = (p10 * b10 * (1 + p10 / 2 ** pl10)) / (p1 * b1 * (1 + p1 / 2 ** pl1))
+            out[name]["predicted_work_ratio_10x"] = round(pred, 2)
+            out[name]["auto_params"] = {"planes_1x": pl1, "bands_1x": b1,
+                                        "planes_10x": pl10, "bands_10x": b10}
     return out
 
 
