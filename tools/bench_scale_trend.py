@@ -32,7 +32,7 @@ REPEATS = 2  # min-of-2 steady state (the trend RATIO is the metric here)
 #: bump when the BLOW-UP CONSTRUCTION changes (copy count, rewrite
 #: scheme): the cache fingerprint covers the source files only, so a
 #: logic change must invalidate /tmp caches through this version too
-_BLOWUP_VERSION = "10x-tokensuffix-v1"
+_BLOWUP_VERSION = "10x-tokensuffix-v2-embroll"
 
 
 def _source_fingerprint(src_dir: str) -> str:
@@ -90,18 +90,26 @@ PATH_EMB_10X = "/tmp/bench_emb10x.parquet"
 
 
 def materialize_emb_10x(spark, path: str = PATH_EMB_10X):
-    """10x embeddings: copy k shifts coordinate k%64 by 0.05*(k+1) —
-    vectors stay distinct, cluster structure is preserved, true ANN work
-    grows linearly with the corpus."""
+    """10x embeddings, the vector analog of the token-suffix docs
+    construction: copy k applies a cyclic coordinate rotation by k.
+    A rotation is ORTHOGONAL, so every within-copy pairwise cosine is
+    preserved exactly (each copy keeps the original's near-dup/cluster
+    structure → true pair work scales exactly 10x), while cross-copy
+    cosines decay to the vectors' autocorrelation at lag k−j ≈ 0 (no
+    construction-induced cross-copy near-dups).  The earlier
+    one-coordinate-shift construction left replica families mutually
+    similar — C(10,2)=45 GENUINE near-dup pairs per base vector, a
+    superlinear true-work term that polluted the embedding candidate
+    counter (measured 39.7x vs the ~15.6x LSH prediction)."""
     if not _cache_valid(path, f"{SF_DIR}/embeddings.parquet"):
         emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
         copies = None
         for k in range(10):
             c = emb.select(
                 (F.col("vec_id") + k * 10_000_000).alias("vec_id"),
-                F.transform(
-                    F.col("embedding").cast("array<double>"),
-                    lambda x, i: x + F.when(i == k % 64, 0.05 * (k + 1)).otherwise(0.0),
+                F.expr(
+                    "transform(cast(embedding AS array<double>), "
+                    f"(x, i) -> embedding[(i + {k}) % size(embedding)])"
                 ).alias("embedding"),
             )
             copies = c if copies is None else copies.unionByName(c)
