@@ -6,6 +6,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
 SF_DIR_CORRECTNESS = "/root/testdata/sf0.01"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: spark-submit / subprocess tests (minutes, not seconds)")
+
+
 @pytest.fixture(scope="session")
 def spark():
     from pyspark.sql import SparkSession
