@@ -604,11 +604,12 @@ def q_repetition_stats(spark, sf_dir):
 
 def q_ann_topk(spark, sf_dir):
     _ship(spark)
-    from stream_lib_spark.similarity import brute_force_topk
+    from stream_lib_spark.similarity import brute_force_topk_df
 
     emb = _t(spark, sf_dir, "embeddings")
-    queries = [(r["vec_id"], list(r["embedding"])) for r in emb.where(F.col("vec_id") < 5).collect()]
-    return brute_force_topk(emb, queries, k=3).drop("cosine")
+    # production-shaped entry point: query side is a DataFrame,
+    # broadcast explicitly (one copy per executor, not per task)
+    return brute_force_topk_df(emb, emb.where(F.col("vec_id") < 5), k=3).drop("cosine")
 
 
 def _derived_transcripts(spark, sf_dir):

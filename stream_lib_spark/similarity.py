@@ -63,20 +63,16 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
-def brute_force_topk(corpus: DataFrame, queries: list[tuple[int, list[float]]], k: int = 5,
-                     id_col: str = "vec_id", vec_col: str = "embedding",
-                     exclude_self: bool = True) -> DataFrame:
-    """Exact cosine top-k of each query vector against the corpus.
-
-    ``queries`` is a small driver-side list [(id, vector)] — closed over
-    (broadcast with the serialized task, same effect as F.broadcast for
-    a dim table).  Per-partition: GEMM → per-query partial top-k;
-    global: window rank over (partitions × k) candidate rows only.
-    """
-    q_ids = np.array([q[0] for q in queries], dtype=np.int64)
-    q_mat = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
+def _brute_partials(corpus: DataFrame, get_queries, k: int,
+                    id_col: str, vec_col: str, exclude_self: bool) -> DataFrame:
+    """Per-partition GEMM → per-query partial top-k (the brute-force
+    scan kernel shared by the list and DataFrame entry points).
+    ``get_queries`` is a zero-arg callable returning (q_ids, q_mat) —
+    executed on the executor, so the query matrix can come from a
+    closure or from a SparkContext broadcast variable."""
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids, q_mat = get_queries()
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -99,14 +95,61 @@ def brute_force_topk(corpus: DataFrame, queries: list[tuple[int, list[float]]], 
                 out_s.extend(sims[qi, idx].tolist())
             yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cosine": out_s})
 
-    partials = corpus.select(id_col, vec_col).mapInPandas(score, schema=_OUT)
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        partials.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("cosine", 4).alias("cosine"))
-        .orderBy("query_id", "rank")
-    )
+    return corpus.select(id_col, vec_col).mapInPandas(score, schema=_OUT)
+
+
+def brute_force_topk(corpus: DataFrame, queries: list[tuple[int, list[float]]], k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     exclude_self: bool = True) -> DataFrame:
+    """Exact cosine top-k of each query vector against the corpus.
+
+    ``queries`` is a small driver-side list [(id, vector)] — closed over
+    (broadcast with the serialized task, same effect as F.broadcast for
+    a dim table).  Per-partition: GEMM → per-query partial top-k;
+    global: window rank over (partitions × k) candidate rows only.
+    This is the oracle-side helper; production callers with a query
+    *table* use :func:`brute_force_topk_df` (explicit broadcast, never
+    re-shipped per task) or the distributed-query ANN paths.
+    """
+    q_ids = np.array([q[0] for q in queries], dtype=np.int64)
+    q_mat = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
+    partials = _brute_partials(
+        corpus, lambda: (q_ids, q_mat), k, id_col, vec_col, exclude_self)
+    return _global_topk(partials, k)
+
+
+def brute_force_topk_df(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        exclude_self: bool = True,
+                        max_broadcast_queries: int = 100_000) -> DataFrame:
+    """Exact cosine top-k with the query side as a **DataFrame** — the
+    production-shaped brute-force entry point.
+
+    Contract: the query set must be broadcastable, exactly like the
+    small side of a broadcast join (bounded by
+    ``max_broadcast_queries``; 100k × 64-dim float64 ≈ 50 MB).  It is
+    collected once and shipped via a SparkContext broadcast variable —
+    one copy per executor, torrent distribution, never re-serialized
+    per task the way a closure capture is.  The corpus side streams
+    through the shared per-partition GEMM + partial-top-k kernel, so
+    shuffle volume is (#partitions × n_q × k) candidate rows — the
+    scored cross product never materializes or shuffles.  Beyond the
+    broadcast bound, brute force is the wrong tool: use
+    :func:`ivf_topk` / :func:`lsh_bucketed_topk`, whose query side
+    stays distributed.
+    """
+    rows = (queries.select(F.col(id_col).cast("long"), vec_col)
+            .limit(max_broadcast_queries + 1).collect())
+    if len(rows) > max_broadcast_queries:
+        raise ValueError(
+            f"query side exceeds max_broadcast_queries={max_broadcast_queries}; "
+            "use ivf_topk/lsh_bucketed_topk for large query tables")
+    q_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    q_mat = _normalize(np.array([list(r[1]) for r in rows], dtype=np.float64))
+    bc = corpus.sparkSession.sparkContext.broadcast((q_ids, q_mat))
+    partials = _brute_partials(
+        corpus, lambda: bc.value, k, id_col, vec_col, exclude_self)
+    return _global_topk(partials, k)
 
 
 def hyperplane_signature(df: DataFrame, dim: int, n_planes: int = 16, seed: int = 11,

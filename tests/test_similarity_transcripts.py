@@ -40,6 +40,28 @@ def test_brute_force_matches_numpy(spark, emb):
         assert mine == expected[qid]
 
 
+def test_brute_force_df_matches_list_variant(spark, emb):
+    """The DataFrame entry point (explicit sc.broadcast) must return
+    row-for-row what the driver-list variant returns."""
+    from stream_lib_spark.similarity import brute_force_topk_df
+
+    pdf = emb.toPandas()
+    qids = [0, 1, 2]
+    queries = [(int(r["vec_id"]), list(r["embedding"]))
+               for _, r in pdf.iterrows() if r["vec_id"] in qids]
+    want = [tuple(r) for r in brute_force_topk(emb.repartition(4), queries, k=5).collect()]
+    got = [tuple(r) for r in brute_force_topk_df(
+        emb.repartition(4), emb.where(F.col("vec_id") < 3), k=5).collect()]
+    assert got == want
+
+
+def test_brute_force_df_rejects_oversized_query_side(spark, emb):
+    from stream_lib_spark.similarity import brute_force_topk_df
+
+    with pytest.raises(ValueError, match="max_broadcast_queries"):
+        brute_force_topk_df(emb, emb, k=3, max_broadcast_queries=10)
+
+
 def test_lsh_recall_reasonable(spark, emb):
     pdf = emb.toPandas()
     qids = list(range(10))
