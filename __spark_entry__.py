@@ -519,12 +519,23 @@ def q_decontamination_overlap(spark, sf_dir):
     a probe "test set" (here: every 97th document's text, so the oracle
     can derive the identical probe set in SQL).  Output = contaminated
     docs with exact overlap counts — the probe docs themselves plus the
-    fixture's planted near-copies."""
-    from stream_lib_spark.textops import ngram_contamination
+    fixture's planted near-copies.
+
+    Round 7: the gate runs BOTH physical paths — the exact
+    broadcast-join screen (``src='exact'``) and the Bloom-prescreened
+    screen for unbroadcastable probe sets (``src='bloom'``,
+    ``ngram_contamination_bloom``: distributed filter build → torrent
+    broadcast of the bytes → vectorized prescreen → shuffle-hash
+    verify of survivors only).  No false negatives + exact verify ⇒
+    the two paths must be row-identical, and both must match the
+    oracle's independent SQL join."""
+    from stream_lib_spark.textops import ngram_contamination, ngram_contamination_bloom
 
     docs = _t(spark, sf_dir, "documents")
     probes = docs.where(F.col("doc_id") % 97 == 0).select("text")
-    return ngram_contamination(docs, probes, n=8)
+    exact = ngram_contamination(docs, probes, n=8).withColumn("src", F.lit("exact"))
+    bloom = ngram_contamination_bloom(docs, probes, n=8).withColumn("src", F.lit("bloom"))
+    return exact.unionByName(bloom).orderBy("src", "doc_id")
 
 
 def _pii_augmented_docs(spark, sf_dir):
@@ -2554,9 +2565,13 @@ def oracle_sql() -> dict[str, str]:
             "), hits AS ("
             "  SELECT doc_id, COUNT(*) AS n_contaminated FROM grams JOIN probe USING (gram) GROUP BY doc_id"
             "), tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id) "
+            # both physical paths (exact broadcast join / Bloom
+            # prescreen + verify) must equal this one logical result
             "SELECT h.doc_id, n_contaminated, n_grams, "
-            "ROUND(CAST(n_contaminated AS DOUBLE) / n_grams, 4) AS contamination_rate "
-            "FROM hits h JOIN tot USING (doc_id) ORDER BY doc_id"
+            "ROUND(CAST(n_contaminated AS DOUBLE) / n_grams, 4) AS contamination_rate, src "
+            "FROM hits h JOIN tot USING (doc_id) "
+            "CROSS JOIN (SELECT unnest(['bloom', 'exact']) AS src) "
+            "ORDER BY src, doc_id"
         ),
         "repetition_stats": (
             "WITH toks AS ("

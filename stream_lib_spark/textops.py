@@ -938,9 +938,9 @@ def ngram_contamination(docs: DataFrame, probes: DataFrame, n: int = 8,
     Scale shape: the probe side (test sets) is tiny relative to the
     corpus, so its DISTINCT gram set is broadcast and the corpus grams
     stream through one equi-join — no shuffle of the corpus beyond the
-    per-doc aggregation.  For probe sets too large to broadcast, screen
-    with a Bloom filter of probe-gram hashes first (``bloom_build`` /
-    ``bloom_probe``) and verify survivors through this exact join.
+    per-doc aggregation.  For probe sets too large to broadcast as
+    strings, use ``ngram_contamination_bloom`` — identical output,
+    Bloom-prescreened join.
 
     Returns one row per CONTAMINATED doc:
     (id, n_contaminated, n_grams, contamination_rate)."""
@@ -952,6 +952,76 @@ def ngram_contamination(docs: DataFrame, probes: DataFrame, n: int = 8,
     )
     hits = (
         doc_grams.join(F.broadcast(probe_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    totals = doc_grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    return (
+        hits.join(totals, id_col)
+        .select(
+            id_col, "n_contaminated", "n_grams",
+            F.round(F.col("n_contaminated") / F.col("n_grams"), 4).alias("contamination_rate"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def ngram_contamination_bloom(docs: DataFrame, probes: DataFrame, n: int = 8,
+                              id_col: str = "doc_id", text_col: str = "text",
+                              probe_text_col: str = "text",
+                              fpp: float = 1e-3,
+                              probe_gram_count: int | None = None) -> DataFrame:
+    """``ngram_contamination`` for probe sets too large to broadcast as
+    strings — IDENTICAL output, different physical shape.
+
+    The exact screen broadcasts the distinct probe grams (~n·8 words of
+    text per gram) and joins the full corpus gram stream against them.
+    When the probe side itself is corpus-sized (e.g. decontaminating
+    training data against *another training corpus*, not a small eval
+    set), that broadcast and the corpus-wide shuffle join both stop
+    scaling.  This variant:
+
+    1. folds the distinct probe grams into ONE Bloom filter via the
+       two-level ``sketch_agg`` merge (``bloom_build``) — fixed
+       ``1.44·log2(1/fpp)`` bits/gram (~2.2 bytes at the 1e-3 default),
+       independent of gram text length;
+    2. broadcasts the filter BYTES once per executor (torrent, not
+       per-task closure) and pre-screens the corpus gram stream with
+       the Arrow-vectorized ``bloom_probe`` — survivors are the true
+       hits plus ~fpp of the clean grams;
+    3. verifies ONLY the survivors through the exact equi-join
+       (``shuffle_hash`` hint: the premise is that the probe side must
+       not be broadcast), so the join shuffles ~|hits| + fpp·|corpus
+       grams| rows instead of every corpus gram.
+
+    Bloom filters have NO false negatives (``sketches/bloom.py``
+    exactness contract) and step 3 removes the false positives, so the
+    result is row-for-row equal to ``ngram_contamination`` — the
+    registry gate runs both paths against one oracle.
+
+    ``probe_gram_count`` sizes the filter; when None it is counted with
+    one extra job over the probe side (cheap relative to the corpus
+    scan; pass the known count in production to skip it).  Totals
+    (``n_grams``) come from the unfiltered corpus stream, unaffected by
+    the prescreen."""
+    from .functions import bloom_build, bloom_probe
+
+    doc_grams = _word_ngrams(docs, n, id_col, text_col)
+    probe_grams = (
+        _word_ngrams(probes.select(F.lit(0).alias("__pid"), F.col(probe_text_col)),
+                     n, "__pid", probe_text_col)
+        .select("gram").distinct()
+    )
+    if probe_gram_count is None:
+        probe_gram_count = probe_grams.count()
+    bf = bloom_build(probe_grams, "gram",
+                     n_elements=max(probe_gram_count, 16), fpp=fpp)
+    survivors = (
+        bloom_probe(bf, doc_grams, "gram")
+        .where(F.col("might_contain")).drop("might_contain")
+    )
+    hits = (
+        survivors.join(probe_grams.hint("shuffle_hash"), "gram")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_contaminated"))
     )

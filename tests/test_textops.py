@@ -269,6 +269,62 @@ def test_ngram_contamination_planted(spark):
     assert 0 < out[10]["contamination_rate"] < 1
 
 
+def test_ngram_contamination_bloom_equals_exact(spark):
+    """The Bloom-prescreened screen must be row-identical to the exact
+    broadcast-join screen — even at an absurd fpp=0.5 where roughly
+    half the clean corpus grams survive the prescreen as false
+    positives, because the shuffle-hash verify join removes every one
+    of them and the Bloom contract admits no false negatives."""
+    from stream_lib_spark.textops import (ngram_contamination,
+                                          ngram_contamination_bloom)
+
+    rng = __import__("random").Random(7)
+    words = [f"w{i}" for i in range(200)]
+    rows = [(i, " ".join(rng.choice(words) for _ in range(60)))
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # probes: two full doc texts + one fresh sentence nothing contains
+    probes = spark.createDataFrame(
+        [(rows[3][1],), (rows[17][1],), ("totally novel probe sentence " * 3,)],
+        "text string")
+    exact = ngram_contamination(docs, probes, n=8).collect()
+    assert {r["doc_id"] for r in exact} >= {3, 17}
+    for fpp in (1e-3, 0.5):
+        got = ngram_contamination_bloom(docs, probes, n=8, fpp=fpp).collect()
+        assert got == exact, f"fpp={fpp}"
+    # pre-counted probe_gram_count skips the count job, same answer
+    got = ngram_contamination_bloom(docs, probes, n=8,
+                                    probe_gram_count=200).collect()
+    assert got == exact
+
+
+def test_ngram_contamination_bloom_prescreen_reduces_join(spark):
+    """The point of the prescreen: the verify join sees ~|hits| +
+    fpp·|clean| rows, not the whole corpus gram stream.  Measured via
+    bloom_probe survivors on the same projections the op joins."""
+    from stream_lib_spark.functions import bloom_build, bloom_probe
+    from stream_lib_spark.textops import _word_ngrams
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"c{i}x{j}" for j in range(50))) for i in range(30)]
+        + [(99, "shared phrase alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string")
+    probes = docs.where("doc_id = 99").select("text")
+    doc_grams = _word_ngrams(docs, 8, "doc_id", "text")
+    probe_grams = (_word_ngrams(probes.select(F.lit(0).alias("p"), "text"),
+                                8, "p", "text").select("gram").distinct())
+    bf = bloom_build(probe_grams, "gram", n_elements=16, fpp=1e-3)
+    total = doc_grams.count()
+    survivors = (bloom_probe(bf, doc_grams, "gram")
+                 .where("might_contain").count())
+    true_hits = doc_grams.join(probe_grams, "gram").count()
+    assert true_hits <= survivors  # no false negatives
+    # at fpp=1e-3 over ~1300 clean grams, expect ~1 false positive;
+    # allow generous slack but demand a real reduction
+    assert survivors <= true_hits + max(10, int(total * 0.02))
+    assert survivors < total * 0.1
+
+
 def test_repetition_stats_flags_boilerplate(spark):
     from stream_lib_spark.textops import repetition_stats
 
