@@ -943,19 +943,29 @@ def ngram_contamination(docs: DataFrame, probes: DataFrame, n: int = 8,
     Bloom-prescreened join.
 
     Returns one row per CONTAMINATED doc:
-    (id, n_contaminated, n_grams, contamination_rate)."""
-    doc_grams = _word_ngrams(docs, n, id_col, text_col)
+    (id, n_contaminated, n_grams, contamination_rate).
+
+    Shuffle shape (round 7): the hits side joins the RAW (non-distinct)
+    gram stream map-side first and dedups (id, gram) AFTER — the join
+    is a broadcast hash probe costing no shuffle, so the only rows that
+    reach the dedup exchange are actual probe hits, ~|hits| instead of
+    every corpus gram.  The totals count is the one place a full
+    (id, gram) dedup shuffle is inherent (it counts distinct grams per
+    doc), and map-side partial aggregation bounds what moves."""
+    raw_grams = _word_ngrams(docs, n, id_col, text_col, distinct=False)
     probe_grams = (
         _word_ngrams(probes.select(F.lit(0).alias("__pid"), F.col(probe_text_col)),
                      n, "__pid", probe_text_col)
         .select("gram").distinct()
     )
     hits = (
-        doc_grams.join(F.broadcast(probe_grams), "gram")
+        raw_grams.join(F.broadcast(probe_grams), "gram")
+        .select(id_col, "gram").distinct()
         .groupBy(id_col)
         .agg(F.count("*").alias("n_contaminated"))
     )
-    totals = doc_grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    totals = (_word_ngrams(docs, n, id_col, text_col)
+              .groupBy(id_col).agg(F.count("*").alias("n_grams")))
     return (
         hits.join(totals, id_col)
         .select(
@@ -1003,10 +1013,16 @@ def ngram_contamination_bloom(docs: DataFrame, probes: DataFrame, n: int = 8,
     one extra job over the probe side (cheap relative to the corpus
     scan; pass the known count in production to skip it).  Totals
     (``n_grams``) come from the unfiltered corpus stream, unaffected by
-    the prescreen."""
+    the prescreen.
+
+    Shuffle shape: the prescreen probes the RAW (non-distinct) gram
+    stream — a vectorized map-side pass, no shuffle — so the (id, gram)
+    dedup exchange AND the verify join only ever see survivors
+    (~|hits| + fpp·|corpus grams| rows).  The full corpus gram stream
+    is never shuffled except for the inherent totals dedup."""
     from .functions import bloom_build, bloom_probe
 
-    doc_grams = _word_ngrams(docs, n, id_col, text_col)
+    raw_grams = _word_ngrams(docs, n, id_col, text_col, distinct=False)
     probe_grams = (
         _word_ngrams(probes.select(F.lit(0).alias("__pid"), F.col(probe_text_col)),
                      n, "__pid", probe_text_col)
@@ -1017,15 +1033,17 @@ def ngram_contamination_bloom(docs: DataFrame, probes: DataFrame, n: int = 8,
     bf = bloom_build(probe_grams, "gram",
                      n_elements=max(probe_gram_count, 16), fpp=fpp)
     survivors = (
-        bloom_probe(bf, doc_grams, "gram")
-        .where(F.col("might_contain")).drop("might_contain")
+        bloom_probe(bf, raw_grams, "gram")
+        .where(F.col("might_contain"))
+        .select(id_col, "gram").distinct()
     )
     hits = (
         survivors.join(probe_grams.hint("shuffle_hash"), "gram")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_contaminated"))
     )
-    totals = doc_grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    totals = (_word_ngrams(docs, n, id_col, text_col)
+              .groupBy(id_col).agg(F.count("*").alias("n_grams")))
     return (
         hits.join(totals, id_col)
         .select(
