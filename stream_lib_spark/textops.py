@@ -976,6 +976,49 @@ def ngram_contamination(docs: DataFrame, probes: DataFrame, n: int = 8,
     )
 
 
+def _decon_bloom_survivors(docs, probes, n, id_col, text_col,
+                           probe_text_col, fpp, probe_gram_count):
+    """Shared prescreen of ``ngram_contamination_bloom`` and its work
+    counter: (distinct survivor (id, gram) rows, distinct probe grams).
+    Deterministic — the filter build is seed-fixed and exactly
+    associative, so the false-positive set is a pure function of
+    (probe grams, fpp)."""
+    from .functions import bloom_build, bloom_probe
+
+    raw_grams = _word_ngrams(docs, n, id_col, text_col, distinct=False)
+    probe_grams = (
+        _word_ngrams(probes.select(F.lit(0).alias("__pid"), F.col(probe_text_col)),
+                     n, "__pid", probe_text_col)
+        .select("gram").distinct()
+    )
+    if probe_gram_count is None:
+        probe_gram_count = probe_grams.count()
+    bf = bloom_build(probe_grams, "gram",
+                     n_elements=max(probe_gram_count, 16), fpp=fpp)
+    survivors = (
+        bloom_probe(bf, raw_grams, "gram")
+        .where(F.col("might_contain"))
+        .select(id_col, "gram").distinct()
+    )
+    return survivors, probe_grams
+
+
+def decontamination_survivor_count(docs: DataFrame, probes: DataFrame,
+                                   n: int = 8, id_col: str = "doc_id",
+                                   text_col: str = "text",
+                                   probe_text_col: str = "text",
+                                   fpp: float = 1e-3) -> int:
+    """Deterministic work counter for the Bloom-prescreened screen: the
+    distinct (id, gram) rows that survive the prescreen and enter the
+    verify join — exactly |true hits| + the seed-fixed false-positive
+    set.  Linear growth per corpus growth (≈10x per 10x docs on the
+    token-rewritten trend fixture) is the no-hidden-blowup evidence for
+    this path, immune to VM contention."""
+    survivors, _ = _decon_bloom_survivors(
+        docs, probes, n, id_col, text_col, probe_text_col, fpp, None)
+    return survivors.count()
+
+
 def ngram_contamination_bloom(docs: DataFrame, probes: DataFrame, n: int = 8,
                               id_col: str = "doc_id", text_col: str = "text",
                               probe_text_col: str = "text",
@@ -1020,23 +1063,8 @@ def ngram_contamination_bloom(docs: DataFrame, probes: DataFrame, n: int = 8,
     dedup exchange AND the verify join only ever see survivors
     (~|hits| + fpp·|corpus grams| rows).  The full corpus gram stream
     is never shuffled except for the inherent totals dedup."""
-    from .functions import bloom_build, bloom_probe
-
-    raw_grams = _word_ngrams(docs, n, id_col, text_col, distinct=False)
-    probe_grams = (
-        _word_ngrams(probes.select(F.lit(0).alias("__pid"), F.col(probe_text_col)),
-                     n, "__pid", probe_text_col)
-        .select("gram").distinct()
-    )
-    if probe_gram_count is None:
-        probe_gram_count = probe_grams.count()
-    bf = bloom_build(probe_grams, "gram",
-                     n_elements=max(probe_gram_count, 16), fpp=fpp)
-    survivors = (
-        bloom_probe(bf, raw_grams, "gram")
-        .where(F.col("might_contain"))
-        .select(id_col, "gram").distinct()
-    )
+    survivors, probe_grams = _decon_bloom_survivors(
+        docs, probes, n, id_col, text_col, probe_text_col, fpp, probe_gram_count)
     hits = (
         survivors.join(probe_grams.hint("shuffle_hash"), "gram")
         .groupBy(id_col)

@@ -76,6 +76,132 @@ def test_keyed_stateful_streaming(spark, dirs, sf_dir):
         assert abs(row["estimate"] - exact[et]) <= bound, (et, row["estimate"], exact[et])
 
 
+def test_tws_processor_fold_parity(spark, dirs, sf_dir):
+    """The Spark 4 TWS backend's StatefulProcessor must land per-key
+    state BYTES identical to the classic applyInPandasWithState backend
+    run through the real streaming engine.  The TWS engine's Python
+    state protocol needs protobuf (absent in this sandbox), so the
+    processor is driven through a state-protocol fake over the SAME
+    per-file micro-batches the classic query consumes — same fold loop,
+    exactly associative state, so backend choice can never change a
+    stored estimate."""
+    from stream_lib_spark.streaming import (keyed_streaming_sketch,
+                                            make_sketch_processor)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    for i in range(3):
+        ev.where(F.pmod("event_id", F.lit(3)) == i).write.mode("append").parquet(dirs["input"])
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(dirs["input"])
+    spec = SketchSpec("hll", p=12)
+
+    q = (keyed_streaming_sketch(stream, ["event_type"], "user_id", spec)
+         .writeStream.format("memory").queryName("tws_fold_classic")
+         .outputMode("update").option("checkpointLocation", dirs["ckpt"] + "-twsf")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    classic_pdf = spark.sql("select * from tws_fold_classic").toPandas()
+    classic = {et: bytes(row["sketch"])
+               for et, row in classic_pdf.groupby("event_type").last().iterrows()}
+
+    class FakeValueState:
+        def __init__(self):
+            self.v = None
+
+        def get(self):
+            return self.v
+
+        def update(self, t):
+            self.v = tuple(t)
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return self.states.setdefault(name, FakeValueState())
+
+    # drive the processor with the same three micro-batches, keyed
+    batches = [
+        ev.where((F.pmod("event_id", F.lit(3)) == i) & F.col("user_id").isNotNull())
+        .select("event_type", F.xxhash64("user_id").alias("__in")).toPandas()
+        for i in range(3)
+    ]
+    procs = {}
+    outs = {}
+    for b in batches:
+        for et, grp in b.groupby("event_type"):
+            if et not in procs:
+                p = make_sketch_processor(["event_type"], "hash", spec)
+                p.init(FakeHandle())
+                procs[et] = p
+            (out,) = list(procs[et].handleInputRows((et,), iter([grp[["__in"]]]), None))
+            outs[et] = bytes(out["sketch"].iloc[0])
+    for p in procs.values():
+        p.close()
+    assert set(outs) == set(classic) and len(outs) > 0
+    for et in classic:
+        assert outs[et] == classic[et], f"backend state bytes differ for {et}"
+    batch = {r["event_type"]: bytes(r["sketch"])
+             for r in sketch_agg(ev.where(F.col("user_id").isNotNull()),
+                                 ["event_type"], "user_id", spec).collect()}
+    assert outs == batch
+
+
+def test_keyed_tws_backend_byte_parity(spark, dirs, sf_dir):
+    """End-to-end engine parity (runs wherever protobuf is installed —
+    the TWS Python state protocol needs it; auto-skips in this
+    sandbox): the transformWithStateInPandas backend must produce
+    per-key state BYTES identical to the classic applyInPandasWithState
+    backend AND to the batch sketch_agg.  TWS requires the RocksDB
+    state store provider; the conf is set only for the TWS query and
+    restored after."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="TWS Python state protocol needs protobuf (absent in sandbox)")
+    from stream_lib_spark.streaming import (keyed_streaming_sketch,
+                                            keyed_streaming_sketch_tws)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    for i in range(3):
+        ev.where(F.pmod("event_id", F.lit(3)) == i).write.mode("append").parquet(dirs["input"])
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(dirs["input"])
+    spec = SketchSpec("hll", p=12)
+
+    def run(name, build, **conf):
+        prior = {k: spark.conf.get(k, None) for k in conf}
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        try:
+            q = (build(stream, ["event_type"], "user_id", spec)
+                 .writeStream.format("memory").queryName(name)
+                 .outputMode("update")
+                 .option("checkpointLocation", dirs["ckpt"] + "-" + name)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(180)
+        finally:
+            for k, v in prior.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+        pdf = spark.sql(f"select * from {name}").toPandas()
+        return {et: bytes(row["sketch"])
+                for et, row in pdf.groupby("event_type").last().iterrows()}
+
+    classic = run("tws_parity_classic", keyed_streaming_sketch)
+    tws = run(
+        "tws_parity_new", keyed_streaming_sketch_tws,
+        **{"spark.sql.streaming.stateStore.providerClass":
+           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"})
+    assert set(tws) == set(classic) and len(tws) > 0
+    for et in classic:
+        assert tws[et] == classic[et], f"backend state bytes differ for {et}"
+    batch = {r["event_type"]: bytes(r["sketch"])
+             for r in sketch_agg(ev.where(F.col("user_id").isNotNull()),
+                                 ["event_type"], "user_id", spec).collect()}
+    assert {et: tws[et] for et in tws} == batch
+
+
 def test_windowed_streaming_sketch(spark, dirs, sf_dir):
     import math
 

@@ -128,9 +128,11 @@ def run(spark) -> dict:
         ivf_topk,
     )
     from stream_lib_spark.textops import (
+        decontamination_survivor_count,
         minhash_candidate_count,
         minhash_lsh_pairs,
         ngram_candidate_count,
+        ngram_contamination_bloom,
         ngram_jaccard_pairs,
         sequence_pack,
         sequence_pack_work_count,
@@ -138,6 +140,14 @@ def run(spark) -> dict:
         simhash_near_dups,
         winnowing_fingerprints,
     )
+
+    # probes for the decontamination row: every 97th ORIGINAL doc, so
+    # each 10x copy contributes the token-rewritten versions of the
+    # SAME probe docs — probe grams are 10 disjoint rewrites and true
+    # hits scale exactly 10x by construction (copy ids are original +
+    # k*10_000_000, so id % 10_000_000 recovers the original id)
+    def decon_probes(d):
+        return d.where((F.col("doc_id") % 10_000_000) % 97 == 0).select("text")
 
     docs1 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     docs10 = materialize_10x(spark)
@@ -190,6 +200,11 @@ def run(spark) -> dict:
         # plus power-of-two bucket rounding; the row carries its own
         # prediction to compare against.
         "embedding_near_dup": lambda d: embedding_candidate_count(d, dim=64, threshold=0.9),
+        # round 7: Bloom-prescreened decontamination — rows surviving
+        # the prescreen into the verify join (true hits + the
+        # seed-fixed false-positive set, both linear in corpus size)
+        "decontamination_bloom": lambda d: decontamination_survivor_count(
+            d, decon_probes(d), n=8),
     }
     for name, d1, d10, fn in [
         ("minhash_dedup", docs1, docs10,
@@ -207,6 +222,8 @@ def run(spark) -> dict:
          .agg(F.max("pack_id"), F.sum("n_tokens")).collect()),
         ("embedding_near_dup", emb1, emb10,
          lambda d: embedding_near_dup_pairs(d, dim=64, threshold=0.9).count()),
+        ("decontamination_bloom", docs1, docs10,
+         lambda d: ngram_contamination_bloom(d, decon_probes(d), n=8).count()),
     ]:
         # embedding_near_dup is sub-quadratic, NOT linear: its retry
         # bar is the 10^(1+ρ) LSH prediction, not the linear ~8x one
