@@ -4,7 +4,7 @@ reduced version of tools/bench_error_sweep.py (fewer trials, decades to
 behavior — sparse→dense crossover, LC→raw switch, small-range
 correction — fails CI, not just the bench artifact."""
 
-from tools.bench_error_sweep import sweep
+from tools.bench_error_sweep import quantile_freq_sweep, sweep
 
 
 def test_error_sweep_decades_within_bounds():
@@ -25,3 +25,18 @@ def test_error_sweep_decades_within_bounds():
     assert est["adaptive"]["100"]["max_abs_err"] < 0.03
     # CTE is EXACT below its tipping point
     assert est["cte"]["1000"]["max_abs_err"] == 0.0
+
+
+def test_quantile_freq_sweep_within_bounds():
+    """Round-7 extension: the t-digest/KLL 0.015 rank-error contract
+    holds at every decade and distribution (uniform + lognormal, KLL in
+    shuffled order), and CMS keeps its one-sided eps*N overestimate
+    contract on zipf streams."""
+    out = quantile_freq_sweep(decades=[10**3, 10**4, 10**5], trials=2)
+    bad = {(fam, n): row
+           for fam, rows in out["families"].items()
+           for n, row in rows.items() if not row["ok"]}
+    assert not bad, bad
+    assert out["all_ok"]
+    for n, row in out["families"]["cms"].items():
+        assert row["no_undercount"], n

@@ -131,5 +131,85 @@ def sweep(decades=DECADES, trials=TRIALS, estimators=ESTIMATORS) -> dict:
     }
 
 
+QUANTILES = (0.01, 0.1, 0.5, 0.9, 0.99)
+#: documented rank-error contract both quantile sketches mirror from
+#: the reference's t-digest tests (sketches/tdigest.py:25-26,
+#: sketches/kll.py:29-31): merged rank error < 0.015 at delta=100 /
+#: k=200 — asserted here at EVERY decade and distribution, not just
+#: the gates' single point
+_RANK_BOUND = 0.015
+
+
+def quantile_freq_sweep(decades=None, trials=2) -> dict:
+    """Decade sweep for the NON-cardinality families (round 7): rank
+    error of t-digest and KLL at the canonical quantiles over uniform
+    and heavy-tailed (lognormal) data, n = 10^3..10^6 — plus the CMS
+    eps*N overestimate contract on zipf streams.  Rank error is
+    measured against the exact empirical CDF (searchsorted on the
+    sorted sample); KLL is fed in SHUFFLED order (order-sensitive
+    compactions), t-digest's batch build is order-free by
+    construction."""
+    from stream_lib_spark.sketches.cms import CountMinSketch
+    from stream_lib_spark.sketches.kll import KLL
+    from stream_lib_spark.sketches.tdigest import TDigest
+
+    decades = decades or [10**d for d in range(3, 7)]
+    out: dict[str, dict] = {"tdigest": {}, "kll": {}, "cms": {}}
+    for n in decades:
+        rows = {"tdigest": [], "kll": []}
+        for t in range(trials):
+            rng = np.random.default_rng(10_000 * t + n % 9973)
+            for dist, vals in (("uniform", rng.random(n)),
+                               ("lognormal", rng.lognormal(0.0, 2.0, n))):
+                vals = vals.astype(np.float64)
+                sv = np.sort(vals)
+                td = TDigest.from_values(vals)
+                kl = KLL().add_values(vals)  # rng order = shuffled
+                for sk, key in ((td, "tdigest"), (kl, "kll")):
+                    qhat = np.asarray([sk.quantile(q) for q in QUANTILES])
+                    ranks = np.searchsorted(sv, qhat, side="right") / n
+                    rows[key].append(float(np.max(np.abs(ranks - np.asarray(QUANTILES)))))
+        for key in ("tdigest", "kll"):
+            mx = max(rows[key])
+            out[key][str(n)] = {"max_rank_err": round(mx, 6),
+                                "bound": _RANK_BOUND,
+                                "ok": bool(mx <= _RANK_BOUND)}
+    # CMS: zipf(1.2) streams; the guarantee is one-sided — never an
+    # undercount (asserted exactly), overcount <= eps*N with
+    # confidence 1-2^-d per probe (d=10 here => expected failures over
+    # 200 probes ~0.2; the MEAN overcount is asserted <= eps*N, the
+    # max is reported with a 3x slack assertion)
+    for n in decades:
+        rng = np.random.default_rng(n % 7919)
+        keys = rng.zipf(1.2, n).astype(np.int64)
+        cms = CountMinSketch.from_accuracy(eps=1e-3, confidence=1 - 2**-10)
+        h = murmur64a_int64(keys)
+        cms.update_hashed(h.view(np.int64))
+        uniq, true = np.unique(keys, return_counts=True)
+        top = np.argsort(true)[-100:]
+        probes = np.concatenate([uniq[top], uniq[rng.choice(len(uniq), 100)]])
+        ptrue = np.array([true[np.searchsorted(uniq, p)] for p in probes], dtype=np.int64)
+        est = cms.estimate_hashed(murmur64a_int64(probes).view(np.int64))
+        over = est - ptrue
+        bound = cms.eps * n
+        out["cms"][str(n)] = {
+            "no_undercount": bool((over >= 0).all()),
+            "mean_overcount": round(float(over.mean()), 3),
+            "max_overcount": int(over.max()),
+            "eps_n": round(bound, 3),
+            "ok": bool((over >= 0).all()
+                       and over.mean() <= bound
+                       and over.max() <= 3 * bound),
+        }
+    all_rows = [r for fam in out.values() for r in fam.values()]
+    return {"metric": "quantile_freq_sweep", "decades": decades,
+            "trials": trials, "quantiles": list(QUANTILES),
+            "all_ok": bool(all(r["ok"] for r in all_rows)),
+            "families": out}
+
+
 if __name__ == "__main__":
-    print(json.dumps(sweep()))
+    res = sweep()
+    res["quantile_freq"] = quantile_freq_sweep()
+    res["all_ok"] = bool(res["all_ok"] and res["quantile_freq"]["all_ok"])
+    print(json.dumps(res))
