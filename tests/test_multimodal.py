@@ -142,6 +142,28 @@ def test_y4m_roundtrip_and_header_grammar():
     assert out.shape == (0, 3, 4, 4)
 
 
+def test_y4m_roundtrip_property():
+    """Property: encode->decode is identity for every frame-count /
+    plane-shape / fps combination (the container stores raw planar
+    bytes, so nothing may be lost or reordered)."""
+    from hypothesis import given, settings, strategies as st
+
+    from stream_lib_spark.multimodal import decode_y4m, encode_y4m
+
+    @settings(max_examples=30, deadline=None)
+    @given(n=st.integers(0, 5), h=st.integers(1, 12), w=st.integers(1, 12),
+           num=st.integers(1, 60000), den=st.integers(1, 1001),
+           seed=st.integers(0, 2**31 - 1))
+    def check(n, h, w, num, den, seed):
+        rng = np.random.default_rng(seed)
+        frames = rng.integers(0, 256, size=(n, 3, h, w), dtype=np.uint8)
+        out, gn, gd = decode_y4m(encode_y4m(frames, fps=(num, den)))
+        assert out.shape == frames.shape and (out == frames).all()
+        assert (gn, gd) == (num, den)
+
+    check()
+
+
 def test_video_real_sampling_matches_formula(spark):
     """Real y4m path end-to-end: decode genuinely encoded frames, and
     the plane-byte-sum fingerprints must equal the generation formula
