@@ -291,6 +291,15 @@ def run_sf1_smoke(only: list[str] | None = None) -> dict:
     import __spark_entry__ as entrymod
     from tools.check_gate import TABLES, compare
 
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if only is not None:
+        unknown = sorted(set(only) - set(qs))
+        if unknown:
+            # a typo'd --only must not yield a green zero-gate artifact
+            # (fail BEFORE the expensive sf1 materialization)
+            raise SystemExit(
+                f"--only names not in the registry: {unknown} "
+                f"(known: {sorted(qs)})")
     spark = _session(CPUS)
     materialize_sf1(spark)
     con = duckdb.connect()
@@ -301,7 +310,6 @@ def run_sf1_smoke(only: list[str] | None = None) -> dict:
             # wants a glob over its part files
             pat = f"{p}/*.parquet" if os.path.isdir(p) else p
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
-    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     partial = _sf1_partial_oracles()
     names = [n for n in qs if only is None or n in only]
     gates, ok_all = {}, True

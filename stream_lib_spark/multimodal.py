@@ -146,7 +146,12 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         if start == pos:
             raise DecoderUnavailable("truncated PPM header")
         tokens.append(payload[start:pos])
-    w, h, maxval = (int(t) for t in tokens)
+    try:
+        w, h, maxval = (int(t) for t in tokens)
+    except ValueError as e:
+        raise DecoderUnavailable(f"malformed PPM header tokens {tokens!r}") from e
+    if w <= 0 or h <= 0:
+        raise DecoderUnavailable(f"bad PPM dimensions {w}x{h}")
     if not (0 < maxval < 256):
         raise DecoderUnavailable(f"unsupported PPM maxval {maxval} (only 8-bit)")
     pos += 1  # the single whitespace byte after maxval
@@ -235,14 +240,16 @@ def decode_y4m(payload: bytes) -> tuple[np.ndarray, int, int]:
             elif tag == b"F":
                 fn, fd = val.split(b":")
                 num, den = int(fn), int(fd)
-            elif tag == b"C" and not val.startswith(b"444"):
+            elif tag == b"C" and val != b"444":
+                # exact match, not startswith: C444alpha is 4 planes and
+                # C444p10 is 16-bit — either would mis-slice the raster
                 raise DecoderUnavailable(
                     f"y4m colorspace {val.decode('ascii', 'replace')} not "
-                    "supported (only C444 full-resolution planes)")
+                    "supported (only C444 full-resolution 8-bit planes)")
         except (ValueError, IndexError) as e:
             raise DecoderUnavailable(f"malformed y4m header token {tok!r}") from e
-    if not w or not h or num <= 0 or den <= 0:
-        raise DecoderUnavailable("y4m header missing W/H or has bad frame rate")
+    if w is None or h is None or w <= 0 or h <= 0 or num <= 0 or den <= 0:
+        raise DecoderUnavailable("y4m header missing/bad W/H or frame rate")
     frame_size, pos, frames = w * h * 3, nl + 1, []
     while pos < len(payload):
         if payload[pos:pos + 5] != b"FRAME":

@@ -231,6 +231,26 @@ def auto_n_lists(n_vectors: int, min_lists: int = 16,
     return max(min_lists, min(max_lists, int(round(math.sqrt(max(1, n_vectors))))))
 
 
+def _ivf_index_centroids(corpus: DataFrame, n_lists: int | None,
+                         refine_iters: int, dim: int | None,
+                         id_col: str, vec_col: str):
+    """Shared index construction for ``ivf_topk`` and its work counter
+    ``ivf_candidate_count`` — one code path for (auto n_lists, refined
+    vs sampled centroids) so the counter always measures exactly the
+    index layout the query executes.  Returns ``(n_lists, centroids)``;
+    ``corpus.count()`` runs only when n_lists is auto-derived."""
+    if n_lists is None:
+        n_lists = auto_n_lists(corpus.count())
+    if refine_iters > 0:
+        if dim is None:
+            raise ValueError("refine_iters > 0 requires dim")
+        cents = ivf_centroids_refined(corpus, n_lists, dim, refine_iters,
+                                      id_col, vec_col)
+    else:
+        cents = ivf_centroids(corpus, n_lists, id_col, vec_col)
+    return n_lists, cents
+
+
 def ivf_centroids(corpus: DataFrame, n_lists: int, id_col: str = "vec_id",
                   vec_col: str = "embedding") -> np.ndarray:
     """Deterministic IVF coarse quantizer WITHOUT iterative training:
@@ -358,15 +378,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     probes densely.  ``refine_iters > 0`` (with ``dim``) swaps the
     random-sample centroids for k-means-refined lists
     (``ivf_centroids_refined``) — the clustered-corpus recall fix."""
-    if n_lists is None:
-        n_lists = auto_n_lists(corpus.count())
-    if refine_iters > 0:
-        if dim is None:
-            raise ValueError("refine_iters > 0 requires dim")
-        cents = ivf_centroids_refined(corpus, n_lists, dim, refine_iters,
-                                      id_col, vec_col)
-    else:
-        cents = ivf_centroids(corpus, n_lists, id_col, vec_col)
+    n_lists, cents = _ivf_index_centroids(
+        corpus, n_lists, refine_iters, dim, id_col, vec_col)
     bucketed = ivf_assign(corpus, cents, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), "list_id"
     )
@@ -401,15 +414,8 @@ def ivf_candidate_count(corpus: DataFrame, queries: DataFrame,
     point: the probed fraction n_probe/n_lists shrinks ∝ 1/√N, so
     scanned rows grow only ~√10 ≈ 3.2x per 10x corpus (vs 10x for a
     pinned layout)."""
-    if n_lists is None:
-        n_lists = auto_n_lists(corpus.count())
-    if refine_iters > 0:
-        if dim is None:
-            raise ValueError("refine_iters > 0 requires dim")
-        cents = ivf_centroids_refined(corpus, n_lists, dim, refine_iters,
-                                      id_col, vec_col)
-    else:
-        cents = ivf_centroids(corpus, n_lists, id_col, vec_col)
+    n_lists, cents = _ivf_index_centroids(
+        corpus, n_lists, refine_iters, dim, id_col, vec_col)
     sizes = (
         ivf_assign(corpus, cents, vec_col)
         .groupBy("list_id")
@@ -455,12 +461,49 @@ def auto_lsh_bands(threshold: float, n_planes: int,
     the textbook sub-quadratic LSH exponent (total candidate work
     ~N^(1+ρ), ρ = -log2(p); 0.15 at threshold 0.9, 0.28 at 0.7), which
     is the honest scaling contract for similarity joins: linear in N
-    per band, sublinearly many bands."""
-    import math
+    per band, sublinearly many bands.
 
+    ``max_bands`` is a cost ceiling, not part of the recall contract:
+    when the formula needs more bands than it allows, the clamp is
+    LOUD (``warnings.warn`` stating the recall actually achieved at
+    s_detect) — per the repo's no-silent-caps rule — and the caller
+    should raise ``max_bands`` or lower ``target_recall``."""
+    import math
+    import warnings
+
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError(
+            f"target_recall must be in (0, 1), got {target_recall} — "
+            "the OR-construction band formula diverges at 1.0; use the "
+            "exact brute-force path for full recall")
     p = 1.0 - math.acos(min(1.0, (1.0 + threshold) / 2.0)) / math.pi
-    need = math.log(1.0 / (1.0 - target_recall)) / max(p ** n_planes, 1e-12)
-    return max(1, min(max_bands, math.ceil(need)))
+    p_band = max(p ** n_planes, 1e-12)
+    need = math.ceil(math.log(1.0 / (1.0 - target_recall)) / p_band)
+    if need > max_bands:
+        achieved = 1.0 - (1.0 - p_band) ** max_bands
+        warnings.warn(
+            f"auto_lsh_bands: {need} bands needed for recall "
+            f"{target_recall} at the detection cosine but clamped to "
+            f"max_bands={max_bands}; achieved recall there is only "
+            f"~{achieved:.3f} — raise max_bands or lower target_recall "
+            "for a corpus this large",
+            stacklevel=2)
+    return max(1, min(max_bands, need))
+
+
+def _auto_lsh_params(corpus: DataFrame, threshold: float,
+                     n_planes: int | None, n_bands: int | None,
+                     target_recall: float) -> tuple[int, int]:
+    """Shared (planes, bands) derivation for ``embedding_near_dup_pairs``
+    and its work counter ``embedding_candidate_count`` — ONE code path
+    so the counter always describes exactly the index the op builds.
+    ``corpus.count()`` (a full-scan job) runs only when planes are
+    actually auto-derived, not when the caller pinned them."""
+    if n_planes is None:
+        n_planes = auto_lsh_planes(corpus.count())
+    if n_bands is None:
+        n_bands = auto_lsh_bands(threshold, n_planes, target_recall)
+    return n_planes, n_bands
 
 
 def embedding_near_dup_pairs(corpus: DataFrame, dim: int, threshold: float = 0.9,
@@ -488,11 +531,8 @@ def embedding_near_dup_pairs(corpus: DataFrame, dim: int, threshold: float = 0.9
       is not.
     - ``embedding_candidate_count`` is the deterministic work counter
       for this path (same derivation, counts instead of joins)."""
-    if n_planes is None or n_bands is None:
-        n = corpus.count()
-        n_planes = n_planes if n_planes is not None else auto_lsh_planes(n)
-        n_bands = (n_bands if n_bands is not None
-                   else auto_lsh_bands(threshold, n_planes, target_recall))
+    n_planes, n_bands = _auto_lsh_params(
+        corpus, threshold, n_planes, n_bands, target_recall)
     sigs = hyperplane_signature(corpus, dim, n_planes, seed, vec_col, n_bands)
     banded = sigs.select(id_col, F.posexplode("lsh_sigs").alias("band", "sig"))
     a = banded.select(F.col(id_col).alias("id_a"), "band", "sig")
@@ -529,11 +569,8 @@ def embedding_candidate_count(corpus: DataFrame, dim: int,
     10x corpus under auto parameters is ~10^(1+ρ), ρ = -log2(p_detect)
     (sub-quadratic LSH exponent; see ``auto_lsh_bands``) — compare the
     measured ratio against that prediction, not against 10x."""
-    if n_planes is None or n_bands is None:
-        n = corpus.count()
-        n_planes = n_planes if n_planes is not None else auto_lsh_planes(n)
-        n_bands = (n_bands if n_bands is not None
-                   else auto_lsh_bands(threshold, n_planes, target_recall))
+    n_planes, n_bands = _auto_lsh_params(
+        corpus, threshold, n_planes, n_bands, target_recall)
     sigs = hyperplane_signature(corpus, dim, n_planes, seed, vec_col, n_bands)
     row = (
         sigs.select(F.posexplode("lsh_sigs").alias("band", "sig"))

@@ -587,8 +587,19 @@ def cap_doc_frequency(exploded: DataFrame, key: str, max_doc_freq: int) -> DataF
     of its shared keys are hotter than the cap — near-duplicates share
     many keys, the overwhelming majority of which are rare, so recall
     loss is negligible while worst-case cost becomes linear."""
-    hot = exploded.groupBy(key).count().where(F.col("count") > max_doc_freq).select(key)
-    return exploded.join(F.broadcast(hot), key, "left_anti")
+    return exploded.join(
+        F.broadcast(hot_keys(exploded, key, max_doc_freq)), key, "left_anti")
+
+
+def hot_keys(exploded: DataFrame, key: str, max_doc_freq: int) -> DataFrame:
+    """The single definition of "hot" for the doc-frequency cap: keys
+    appearing in more than ``max_doc_freq`` rows of ``exploded``.
+    ``cap_doc_frequency`` anti-joins against it; ``ngram_jaccard_pairs``
+    additionally equi-joins it to recount the hot half of its split
+    intersection — both sides MUST share this one derivation or the
+    n_cap + n_hot exactness identity silently breaks."""
+    return (exploded.groupBy(key).count()
+            .where(F.col("count") > max_doc_freq).select(key))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
@@ -653,8 +664,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
         # 83s -> 36s on the scale-trend corpus).  Identity: grams is
         # distinct (id, gram), hot/non-hot partition it, so the two
         # joins count disjoint shared-gram sets whose union is exact.
-        hot = (grams.groupBy("gram").count()
-               .where(F.col("count") > max_gram_doc_freq).select("gram"))
+        hot = hot_keys(grams, "gram", max_gram_doc_freq)
         capped = grams.join(F.broadcast(hot), "gram", "left_anti")
         i_cap = (
             _with_count(capped, "a")

@@ -46,3 +46,15 @@ def test_oracle_sql_parses_in_duckdb():
             con.sql(sql).fetchall()  # empty tables — just parse + execute
         except Exception as e:  # pragma: no cover
             pytest.fail(f"oracle for {name!r} failed on empty tables: {e}")
+
+
+def test_sf1_smoke_rejects_unknown_only_names():
+    """A typo'd --only=<gate> must fail fast, not run zero gates and
+    emit a green all_ok=true artifact (and it must fail BEFORE paying
+    for the sf1 materialization)."""
+    import pytest
+
+    import bench
+
+    with pytest.raises(SystemExit, match="not in the registry"):
+        bench.run_sf1_smoke(only=["ann_topkk"])

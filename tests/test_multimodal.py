@@ -44,6 +44,15 @@ def test_ppm_roundtrip_and_header_grammar():
         decode_ppm(b"P6\n2 2\n65535\n" + b"\0" * 24)  # 16-bit maxval
     with pytest.raises(DecoderUnavailable):
         decode_ppm(b"P6\n4 4\n255\n\0\0")  # truncated raster
+    # corrupt headers must surface as DecoderUnavailable, not raw numpy
+    # errors escaping from an executor: negative dims parse as valid
+    # ints and non-numeric tokens don't
+    with pytest.raises(DecoderUnavailable):
+        decode_ppm(b"P6\n-3 -5\n255\n" + b"\0" * 45)
+    with pytest.raises(DecoderUnavailable):
+        decode_ppm(b"P6\n0 4\n255\n")
+    with pytest.raises(DecoderUnavailable):
+        decode_ppm(b"P6\nab 4\n255\n" + b"\0" * 48)
 
 
 def test_wav_roundtrip_and_chunk_walk():
@@ -133,6 +142,12 @@ def test_y4m_roundtrip_and_header_grammar():
     assert out[1].ravel().tolist() == list(range(100, 118))
     with pytest.raises(DecoderUnavailable):
         decode_y4m(b"YUV4MPEG2 W4 H4 C420jpeg\n" + b"FRAME\n" + b"\0" * 24)
+    # C444alpha is 4 planes/frame and C444p10 is 16-bit — a startswith
+    # check would accept both and mis-slice the raster
+    with pytest.raises(DecoderUnavailable):
+        decode_y4m(b"YUV4MPEG2 W2 H2 C444alpha\n" + b"FRAME\n" + b"\0" * 16)
+    with pytest.raises(DecoderUnavailable):
+        decode_y4m(b"YUV4MPEG2 W-4 H4 F25:1\n" + b"FRAME\n" + b"\0" * 48)
     with pytest.raises(DecoderUnavailable):
         decode_y4m(b"YUV4MPEG2 W4 H4\nFRAME\n\0\0")  # truncated frame
     with pytest.raises(DecoderUnavailable):

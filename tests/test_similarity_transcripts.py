@@ -299,6 +299,32 @@ def test_auto_lsh_bands_recall_formula():
         assert 1 - (1 - p ** planes) ** b >= 0.98
 
 
+def test_auto_lsh_bands_clamp_is_loud_and_validates_recall():
+    import warnings
+
+    import pytest
+
+    from stream_lib_spark.similarity import auto_lsh_bands
+
+    # max_bands is a cost ceiling, not a silent recall downgrade: when
+    # the formula needs more bands than allowed, a warning must state
+    # the recall actually achieved (no-silent-caps rule)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert auto_lsh_bands(0.7, 26, target_recall=0.98, max_bands=512) == 512
+        assert len(w) == 1 and "achieved recall" in str(w[0].message)
+    # in-budget derivations stay silent
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        auto_lsh_bands(0.9, 12, target_recall=0.98)
+        assert not w
+    # the band formula diverges at recall 1.0 — clear error, not a
+    # ZeroDivisionError from inside the log
+    for bad in (1.0, 0.0, -0.5, 1.5):
+        with pytest.raises(ValueError, match="target_recall"):
+            auto_lsh_bands(0.9, 12, target_recall=bad)
+
+
 def test_embedding_candidate_count_matches_join(spark):
     """The work counter must equal the banded join's pre-dedup pair
     count exactly (same signatures, same params)."""

@@ -18,6 +18,31 @@ def dirs(tmp_path):
         shutil.rmtree(p, ignore_errors=True)
 
 
+def _final_by_batch(out, key_col, ckpt):
+    """Run an update-mode streaming output to completion and return
+    ``{key: last-emitted row dict}``, picking "last" by micro-batch id.
+    A memory-sink scan has NO row-order guarantee, so the previous
+    ``groupby(key).last()`` over ``select * from <sink>`` silently
+    assumed scan order == emission order — a latent flake once the sink
+    scan goes multi-partition.  foreachBatch's batch_id is the
+    deterministic tie-break (update mode re-emits a key's row each
+    batch it changes in; the highest batch_id row IS the final state)."""
+    final = {}
+
+    def sink(bdf, bid):
+        for r in bdf.collect():
+            d = r.asDict()
+            k = d[key_col]
+            if k not in final or bid >= final[k][0]:
+                final[k] = (bid, d)
+
+    q = (out.writeStream.foreachBatch(sink).outputMode("update")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    return {k: v[1] for k, v in final.items()}
+
+
 def test_streaming_equals_batch(spark, dirs, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     # stage the stream as 4 file drops
@@ -63,15 +88,11 @@ def test_keyed_stateful_streaming(spark, dirs, sf_dir):
         ev.where(F.pmod("event_id", F.lit(3)) == i).write.mode("append").parquet(dirs["input"])
     stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(dirs["input"])
     out = keyed_streaming_sketch(stream, ["event_type"], "user_id", SketchSpec("hll", p=12))
-    q = (out.writeStream.format("memory").queryName("keyed_sketches")
-         .outputMode("update").option("checkpointLocation", dirs["ckpt"] + "-keyed")
-         .trigger(availableNow=True).start())
-    q.awaitTermination(180)
-    pdf = spark.sql("select * from keyed_sketches").toPandas()
-    # last update per key is the full-stream state
-    final = pdf.groupby("event_type").last()
+    # last update per key (by batch id) is the full-stream state
+    final = _final_by_batch(out, "event_type", dirs["ckpt"] + "-keyed")
     exact = dict(ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("d")).collect())
-    for et, row in final.iterrows():
+    assert set(final) == set(exact)
+    for et, row in final.items():
         bound = max(3 * exact[et] * 1.04 / math.sqrt(1 << 12), 1)
         assert abs(row["estimate"] - exact[et]) <= bound, (et, row["estimate"], exact[et])
 
@@ -94,14 +115,10 @@ def test_tws_processor_fold_parity(spark, dirs, sf_dir):
     stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(dirs["input"])
     spec = SketchSpec("hll", p=12)
 
-    q = (keyed_streaming_sketch(stream, ["event_type"], "user_id", spec)
-         .writeStream.format("memory").queryName("tws_fold_classic")
-         .outputMode("update").option("checkpointLocation", dirs["ckpt"] + "-twsf")
-         .trigger(availableNow=True).start())
-    q.awaitTermination(180)
-    classic_pdf = spark.sql("select * from tws_fold_classic").toPandas()
-    classic = {et: bytes(row["sketch"])
-               for et, row in classic_pdf.groupby("event_type").last().iterrows()}
+    classic_rows = _final_by_batch(
+        keyed_streaming_sketch(stream, ["event_type"], "user_id", spec),
+        "event_type", dirs["ckpt"] + "-twsf")
+    classic = {et: bytes(d["sketch"]) for et, d in classic_rows.items()}
 
     class FakeValueState:
         def __init__(self):
@@ -172,21 +189,16 @@ def test_keyed_tws_backend_byte_parity(spark, dirs, sf_dir):
         for k, v in conf.items():
             spark.conf.set(k, v)
         try:
-            q = (build(stream, ["event_type"], "user_id", spec)
-                 .writeStream.format("memory").queryName(name)
-                 .outputMode("update")
-                 .option("checkpointLocation", dirs["ckpt"] + "-" + name)
-                 .trigger(availableNow=True).start())
-            q.awaitTermination(180)
+            rows = _final_by_batch(
+                build(stream, ["event_type"], "user_id", spec),
+                "event_type", dirs["ckpt"] + "-" + name)
         finally:
             for k, v in prior.items():
                 if v is None:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
-        pdf = spark.sql(f"select * from {name}").toPandas()
-        return {et: bytes(row["sketch"])
-                for et, row in pdf.groupby("event_type").last().iterrows()}
+        return {et: bytes(d["sketch"]) for et, d in rows.items()}
 
     classic = run("tws_parity_classic", keyed_streaming_sketch)
     tws = run(
@@ -220,20 +232,15 @@ def test_windowed_streaming_sketch(spark, dirs, sf_dir):
     ).option("maxFilesPerTrigger", 1).parquet(path)
     out = windowed_streaming_sketch(stream, "ts", "6 hours", "user_id",
                                     SketchSpec("hll", p=12), watermark="1 day")
-    q = (out.writeStream.format("memory").queryName("windowed_sketches")
-         .outputMode("update").option("checkpointLocation", dirs["ckpt"] + "-win")
-         .trigger(availableNow=True).start())
-    q.awaitTermination(180)
-    pdf = spark.sql("select * from windowed_sketches").toPandas()
-    assert "is_final" in pdf.columns
-    final = pdf.groupby("window_start").last()
+    final = _final_by_batch(out, "window_start", dirs["ckpt"] + "-win")
+    assert all("is_final" in row for row in final.values())
     exact = dict(
         ev.groupBy(F.window("ts", "6 hours")["start"].cast("string").alias("w"))
         .agg(F.countDistinct("user_id").alias("d"))
         .collect()
     )
-    assert set(final.index) == set(exact)
-    for w, row in final.iterrows():
+    assert set(final) == set(exact)
+    for w, row in final.items():
         bound = max(3 * exact[w] * 1.04 / math.sqrt(1 << 12), 1)
         assert abs(row["estimate"] - exact[w]) <= bound, (w, row["estimate"], exact[w])
 
