@@ -14,9 +14,9 @@ oracle for each.  Two oracle styles:
   returns the same exact value and TRUE — so a sketch drifting out of
   contract fails the value-hash gate, not just a soft check.
 
-Round 6: the registry is consolidated to 47 entries (each a named
-family gate or standalone query) so the driver's 50-query correctness
-budget covers EVERY registered query in one artifact, and the dict is
+Round 6: the registry is consolidated to family gates (47 entries;
+48 after round 7 adds `sampling_gates`) so the driver's 50-query
+correctness budget covers EVERY registered query in one artifact, and the dict is
 staleness-ordered (see ``queries()``).  EVERY entry is oracle-checked — the near-dup/ANN
 family runs as recall gates over SQL-enumerable ground truth (exact
 Jaccard / brute-force SimHash via a SQL-portable md5 word hash /
@@ -1956,6 +1956,31 @@ def q_split_gates(spark, sf_dir):
     return t.unionByName(s).orderBy("gate", "lang", "split")
 
 
+def q_sampling_gates(spark, sf_dir):
+    """Deterministic-sampling family gate (round 7): the k=120
+    Efraimidis–Spirtakis weighted sample over documents (weight =
+    n_chars; 'weighted' rows carry the sampled doc_id + weight) and the
+    cap=15 per-source quota sample ('source_cap' rows carry the SUM of
+    kept doc_ids per source — an identity-sensitive checksum, so a
+    different kept set with the same size still fails) — both
+    selections are pure md5 arithmetic, so the DuckDB oracle reproduces
+    the EXACT same sample, not just its size
+    (`stream_lib_spark/sampling.py`)."""
+    from stream_lib_spark.sampling import source_capped_sample, weighted_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ws = weighted_sample(docs, 120, "n_chars").select(
+        F.lit("weighted").alias("gate"),
+        F.col("doc_id").cast("string").alias("item"),
+        F.col("n_chars").cast("long").alias("val"))
+    cap = (source_capped_sample(docs, 15, "source", "doc_id")
+           .groupBy("source").agg(F.sum("doc_id").alias("id_sum"))
+           .select(F.lit("source_cap").alias("gate"),
+                   F.col("source").alias("item"),
+                   F.col("id_sum").cast("long").alias("val")))
+    return ws.unionByName(cap).orderBy("gate", "item")
+
+
 def q_snapshot_provider_gates(spark, sf_dir):
     """Table-provider contract as a driver-artifact gate (round 6):
     snapshot capture + idempotent ids, optimistic head COMMITS
@@ -2019,8 +2044,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/update_gate_history.py after each round).  Never-validated
     # gates (stamp 0 — e.g. this round's new family gates) run first,
     # then least-recently-green, so any future budget cut always falls
-    # on the MOST recently validated queries.  The registry (47 entries
-    # as of round 6 — keep it <= 50!) also fits the driver's 50-query
+    # on the MOST recently validated queries.  The registry (48 entries
+    # as of round 7 — keep it <= 50!) also fits the driver's 50-query
     # count cap outright.
     base = {
         "cardinality_global_gates": q_cardinality_global_gates,
@@ -2030,6 +2055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reference_family_export_gates": q_reference_family_export_gates,
         "streaming_parity_gates": q_streaming_parity_gates,
         "split_gates": q_split_gates,
+        "sampling_gates": q_sampling_gates,
         "snapshot_provider_gates": q_snapshot_provider_gates,
         "pii_screen": q_pii_screen,
         "sequence_pack": q_sequence_pack,
@@ -2283,6 +2309,23 @@ def oracle_sql() -> dict[str, str]:
             "           AS UBIGINT) / 4294967296.0 AS u FROM documents) "
             "  GROUP BY 2, 3"
             ") ORDER BY gate, lang, split"
+        ),
+        "sampling_gates": (
+            "SELECT gate, item, val FROM ("
+            "  SELECT 'weighted' AS gate, CAST(doc_id AS VARCHAR) AS item, CAST(n_chars AS BIGINT) AS val FROM ("
+            "    SELECT doc_id, n_chars,"
+            "      -ln((CAST(('0x' || substring(md5('ws-v1' || COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 8)) AS UBIGINT) + 0.5) / 4294967296.0)"
+            "        / CAST(n_chars AS DOUBLE) AS key"
+            "    FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0"
+            "    ORDER BY key, doc_id LIMIT 120)"
+            "  UNION ALL"
+            "  SELECT 'source_cap', source, CAST(SUM(doc_id) AS BIGINT) FROM ("
+            "    SELECT source, doc_id, row_number() OVER ("
+            "      PARTITION BY source"
+            "      ORDER BY CAST(('0x' || substring(md5('cap-v1' || COALESCE(CAST(doc_id AS VARCHAR), '')), 1, 8)) AS UBIGINT) ASC, doc_id ASC"
+            "    ) AS rn FROM documents)"
+            "  WHERE rn <= 15 GROUP BY source"
+            ") ORDER BY gate, item"
         ),
         "cms_reference_family": (
             "SELECT event_type, COUNT(*) AS exact_cnt, TRUE AS cms_ok, "
