@@ -14,8 +14,9 @@ oracle for each.  Two oracle styles:
   returns the same exact value and TRUE — so a sketch drifting out of
   contract fails the value-hash gate, not just a soft check.
 
-Round 6: the registry is consolidated to family gates (47 entries;
-48 after round 7 adds `sampling_gates`) so the driver's 50-query
+Round 6: the registry is consolidated to family gates (47 entries; 49
+after round 7 adds `sampling_gates` + `asof_join_events`) so the
+driver's 50-query
 correctness budget covers EVERY registered query in one artifact, and the dict is
 staleness-ordered (see ``queries()``).  EVERY entry is oracle-checked — the near-dup/ANN
 family runs as recall gates over SQL-enumerable ground truth (exact
@@ -1981,6 +1982,28 @@ def q_sampling_gates(spark, sf_dir):
     return ws.unionByName(cap).orderBy("gate", "item")
 
 
+def q_asof_join_events(spark, sf_dir):
+    """Backward as-of join gate (round 7): every click event matched to
+    the latest error event at-or-before it for the same user — lag in
+    exact integer microseconds plus the matched error's value, nulls
+    where no error precedes.  The DuckDB oracle is its native
+    ``ASOF LEFT JOIN`` — the reference semantics our union-and-carry
+    window encoding (`stream_lib_spark/temporal.py`) must reproduce
+    row-for-row."""
+    from stream_lib_spark.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click")
+    errors = ev.where(F.col("event_type") == "error")
+    out = asof_join(clicks, errors, ["user_id"], "ts", ["value"], prefix="err_")
+    return out.select(
+        "event_id", "user_id",
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.unix_micros(F.col("err_ts").cast("timestamp"))).alias("err_lag_us"),
+        F.col("err_value"),
+    ).orderBy("event_id")
+
+
 def q_snapshot_provider_gates(spark, sf_dir):
     """Table-provider contract as a driver-artifact gate (round 6):
     snapshot capture + idempotent ids, optimistic head COMMITS
@@ -2044,7 +2067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/update_gate_history.py after each round).  Never-validated
     # gates (stamp 0 — e.g. this round's new family gates) run first,
     # then least-recently-green, so any future budget cut always falls
-    # on the MOST recently validated queries.  The registry (48 entries
+    # on the MOST recently validated queries.  The registry (49 entries
     # as of round 7 — keep it <= 50!) also fits the driver's 50-query
     # count cap outright.
     base = {
@@ -2056,6 +2079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_parity_gates": q_streaming_parity_gates,
         "split_gates": q_split_gates,
         "sampling_gates": q_sampling_gates,
+        "asof_join_events": q_asof_join_events,
         "snapshot_provider_gates": q_snapshot_provider_gates,
         "pii_screen": q_pii_screen,
         "sequence_pack": q_sequence_pack,
@@ -2309,6 +2333,15 @@ def oracle_sql() -> dict[str, str]:
             "           AS UBIGINT) / 4294967296.0 AS u FROM documents) "
             "  GROUP BY 2, 3"
             ") ORDER BY gate, lang, split"
+        ),
+        "asof_join_events": (
+            "SELECT l.event_id, l.user_id,"
+            "  epoch_us(l.ts) - epoch_us(r.ts) AS err_lag_us,"
+            "  r.value AS err_value"
+            " FROM (SELECT * FROM events WHERE event_type = 'click') l"
+            " ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r"
+            "   ON l.user_id = r.user_id AND l.ts >= r.ts"
+            " ORDER BY l.event_id"
         ),
         "sampling_gates": (
             "SELECT gate, item, val FROM ("
