@@ -14,9 +14,9 @@ oracle for each.  Two oracle styles:
   returns the same exact value and TRUE — so a sketch drifting out of
   contract fails the value-hash gate, not just a soft check.
 
-Round 6: the registry is consolidated to family gates (47 entries; 49
-after round 7 adds `sampling_gates` + `asof_join_events`) so the
-driver's 50-query
+Round 6: the registry is consolidated to family gates (47 entries; 50
+after round 7 adds `sampling_gates`, `asof_join_events`, and
+`range_join_events`) so the driver's 50-query
 correctness budget covers EVERY registered query in one artifact, and the dict is
 staleness-ordered (see ``queries()``).  EVERY entry is oracle-checked — the near-dup/ANN
 family runs as recall gates over SQL-enumerable ground truth (exact
@@ -2004,6 +2004,33 @@ def q_asof_join_events(spark, sf_dir):
     ).orderBy("event_id")
 
 
+def q_range_join_events(spark, sf_dir):
+    """Bucketed range-join gate (round 7): every (click, error) pair
+    where the click falls inside the error's 10-minute follow-up window
+    for the same user — the interval join encoded as a bucketed
+    equi-join (`stream_lib_spark/temporal.py` range_join; bucket_us =
+    the 600s window, so each interval explodes to <= 2 buckets).  The
+    oracle is DuckDB's plain inequality join — exact at gate scale,
+    exactly the plan shape range_join exists to avoid at 10^12 rows."""
+    from stream_lib_spark.temporal import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"),
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 600 SECONDS")).alias("win_end"))
+    out = range_join(clicks, errors, ["user_id"], "ts",
+                     "win_start", "win_end", bucket_us=600_000_000)
+    return out.select(
+        "click_id", "error_id", "user_id",
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.unix_micros(F.col("win_start").cast("timestamp"))
+         ).alias("lag_us"),
+    ).orderBy("click_id", "error_id")
+
+
 def q_snapshot_provider_gates(spark, sf_dir):
     """Table-provider contract as a driver-artifact gate (round 6):
     snapshot capture + idempotent ids, optimistic head COMMITS
@@ -2067,8 +2094,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/update_gate_history.py after each round).  Never-validated
     # gates (stamp 0 — e.g. this round's new family gates) run first,
     # then least-recently-green, so any future budget cut always falls
-    # on the MOST recently validated queries.  The registry (49 entries
-    # as of round 7 — keep it <= 50!) also fits the driver's 50-query
+    # on the MOST recently validated queries.  The registry (50 entries
+    # as of round 7 — the driver's cap EXACTLY; absorb into a family
+    # gate before adding anything new) also fits the driver's 50-query
     # count cap outright.
     base = {
         "cardinality_global_gates": q_cardinality_global_gates,
@@ -2080,6 +2108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_gates": q_split_gates,
         "sampling_gates": q_sampling_gates,
         "asof_join_events": q_asof_join_events,
+        "range_join_events": q_range_join_events,
         "snapshot_provider_gates": q_snapshot_provider_gates,
         "pii_screen": q_pii_screen,
         "sequence_pack": q_sequence_pack,
@@ -2333,6 +2362,15 @@ def oracle_sql() -> dict[str, str]:
             "           AS UBIGINT) / 4294967296.0 AS u FROM documents) "
             "  GROUP BY 2, 3"
             ") ORDER BY gate, lang, split"
+        ),
+        "range_join_events": (
+            "SELECT c.event_id AS click_id, e.event_id AS error_id,"
+            "  c.user_id, epoch_us(c.ts) - epoch_us(e.ts) AS lag_us"
+            " FROM (SELECT * FROM events WHERE event_type = 'click') c"
+            " JOIN (SELECT * FROM events WHERE event_type = 'error') e"
+            "   ON c.user_id = e.user_id AND c.ts >= e.ts"
+            "  AND c.ts <= e.ts + INTERVAL 600 SECOND"
+            " ORDER BY click_id, error_id"
         ),
         "asof_join_events": (
             "SELECT l.event_id, l.user_id,"

@@ -103,3 +103,82 @@ def asof_join(left: DataFrame, right: DataFrame, key_cols: list[str],
                 F.col("__m.__rts").alias(f"{prefix}ts"),
                 *[F.col(f"__m.{c}").alias(f"{prefix}{c}") for c in right_cols]]
     return matched.select(*out_cols)
+
+
+def range_join(points: DataFrame, intervals: DataFrame, key_cols: list[str],
+               ts_col: str, start_col: str, end_col: str,
+               bucket_us: int) -> DataFrame:
+    """Interval join — every (point, interval) pair on the same key with
+    ``start <= point.ts <= end`` (inclusive both ends) — encoded as a
+    BUCKETED equi-join, the shape that survives scale.
+
+    Spark's optimizer turns a raw inequality join into
+    BroadcastNestedLoopJoin (per-key quadratic; a hot key with 10^5
+    points and 10^4 intervals compares 10^9 pairs).  Bucketing makes it
+    an equi-join: each point lands in the single time bucket
+    ``floor(us(ts)/bucket_us)``; each interval explodes to every bucket
+    it overlaps; join on (key, bucket), then apply the exact range
+    predicate.  Because a point belongs to EXACTLY ONE bucket, each
+    qualifying pair is produced exactly once — no dedup shuffle.
+
+    Cost: |points| + Σ per-interval bucket spans shuffled once on
+    (key, bucket).  ``bucket_us`` is a scale-tiered parameter and part
+    of the cost contract: pick it near the TYPICAL interval length —
+    too small and intervals explode to many rows; too large and each
+    bucket mixes many intervals, pushing work into the post-join
+    filter.  Either way the result is identical; only the cost moves.
+    ``range_join_bucket_span`` is the deterministic work counter for
+    the choice (mean/max explode factor) — run it when sizing
+    bucket_us for a new corpus; keep the mean span O(1), a few buckets.
+
+    Output: the key columns, all other ``points`` columns, then all
+    other ``intervals`` columns (callers project/rename upstream if
+    names collide — a collision raises here).  Null ``ts``/bounds rows
+    drop (no position on the time axis); intervals with
+    ``end < start`` are empty by definition and drop too.
+    """
+    if bucket_us <= 0:
+        raise ValueError(f"bucket_us must be positive, got {bucket_us}")
+    p_others = [c for c in points.columns if c not in key_cols]
+    i_others = [c for c in intervals.columns if c not in key_cols]
+    clash = sorted(set(p_others) & set(i_others))
+    if clash:
+        raise ValueError(
+            f"column names on both sides: {clash} — rename one side")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    b = (points.where(F.col(ts_col).isNotNull())
+         .withColumn("__bucket", F.floor(us(ts_col) / bucket_us)))
+    iv = (intervals
+          .where(F.col(start_col).isNotNull() & F.col(end_col).isNotNull()
+                 & (F.col(end_col) >= F.col(start_col)))
+          .withColumn("__bucket", F.explode(F.sequence(
+              F.floor(us(start_col) / bucket_us),
+              F.floor(us(end_col) / bucket_us)))))
+    out = (b.join(iv, [*key_cols, "__bucket"])
+           .where(F.col(ts_col).between(F.col(start_col), F.col(end_col)))
+           .drop("__bucket"))
+    return out.select(*key_cols, *p_others, *i_others)
+
+
+def range_join_bucket_span(intervals: DataFrame, start_col: str,
+                           end_col: str, bucket_us: int) -> dict:
+    """Deterministic WORK COUNTER for ``range_join``'s bucket_us choice:
+    the explode factor each interval pays — ``{'mean': ..., 'max': ...,
+    'total_rows': ...}`` over buckets spanned per interval.  Mean near 1
+    and a bounded max mean the bucketed join shuffles ~|intervals| rows;
+    a mean of hundreds says bucket_us is far below the typical interval
+    length and should be raised (the RESULT is identical either way —
+    this measures cost, not correctness).  A driver-side single-row
+    aggregate, same pattern as the dedup-family work counters."""
+    if bucket_us <= 0:
+        raise ValueError(f"bucket_us must be positive, got {bucket_us}")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    spans = (intervals
+             .where(F.col(start_col).isNotNull() & F.col(end_col).isNotNull()
+                    & (F.col(end_col) >= F.col(start_col)))
+             .select((F.floor(us(end_col) / bucket_us)
+                      - F.floor(us(start_col) / bucket_us) + 1).alias("span")))
+    row = spans.agg(F.avg("span").alias("mean"), F.max("span").alias("max"),
+                    F.sum("span").alias("total_rows")).collect()[0]
+    return {"mean": float(row["mean"] or 0), "max": int(row["max"] or 0),
+            "total_rows": int(row["total_rows"] or 0)}

@@ -103,3 +103,83 @@ def test_asof_plan_is_single_shuffle_no_pair_explosion(spark):
         .executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan[:800]
     assert plan.count("Exchange hashpartitioning") == 1, plan[:800]
+
+
+def _rj_fixture(seed=7, n_pts=300, n_iv=60, n_keys=5):
+    rng = np.random.default_rng(seed)
+    base = pd.Timestamp("2024-01-01")
+    pts = pd.DataFrame({
+        "pid": np.arange(n_pts),
+        "k": rng.integers(0, n_keys, n_pts),
+        "ts": base + pd.to_timedelta(rng.integers(0, 10**9, n_pts), unit="us"),
+    })
+    s = rng.integers(0, 10**9, n_iv)
+    iv = pd.DataFrame({
+        "iid": np.arange(n_iv),
+        "k": rng.integers(0, n_keys, n_iv),
+        "start": base + pd.to_timedelta(s, unit="us"),
+        "end": base + pd.to_timedelta(s + rng.integers(0, 10**8, n_iv), unit="us"),
+    })
+    return pts, iv
+
+
+def _rj_oracle(pts, iv):
+    m = pts.merge(iv, on="k")
+    m = m[(m["ts"] >= m["start"]) & (m["ts"] <= m["end"])]
+    return set(zip(m["pid"], m["iid"]))
+
+
+def test_range_join_matches_exact_oracle_any_bucket_size(spark):
+    from stream_lib_spark.temporal import range_join
+
+    pts, iv = _rj_fixture()
+    exp = _rj_oracle(pts, iv)
+    assert exp  # fixture produces matches
+    pdf, idf = spark.createDataFrame(pts), spark.createDataFrame(iv)
+    # result identical at any bucket_us — only cost moves; also proves
+    # each qualifying pair appears EXACTLY once (set size == row count)
+    for bucket_us in (10**6, 10**7, 10**8, 10**9):
+        got = range_join(pdf, idf, ["k"], "ts", "start", "end",
+                         bucket_us).toPandas()
+        assert len(got) == len(exp), bucket_us
+        assert set(zip(got["pid"], got["iid"])) == exp, bucket_us
+
+
+def test_range_join_edges_and_validation(spark):
+    from stream_lib_spark.temporal import range_join
+
+    base = pd.Timestamp("2024-01-01")
+    pts = pd.DataFrame({"pid": [0, 1, 2], "k": [1, 1, 1],
+                        "ts": [base, base + pd.Timedelta(seconds=10), pd.NaT]})
+    iv = pd.DataFrame({"iid": [0, 1], "k": [1, 1],
+                       "start": [base, base + pd.Timedelta(seconds=30)],
+                       "end": [base + pd.Timedelta(seconds=10),
+                               base + pd.Timedelta(seconds=20)]})  # inverted
+    got = range_join(spark.createDataFrame(pts), spark.createDataFrame(iv),
+                     ["k"], "ts", "start", "end", 10**6).toPandas()
+    # inclusive both ends: pid 0 at start, pid 1 at end; NaT point and
+    # the inverted interval drop
+    assert set(zip(got["pid"], got["iid"])) == {(0, 0), (1, 0)}
+    with pytest.raises(ValueError, match="bucket_us"):
+        range_join(spark.createDataFrame(pts), spark.createDataFrame(iv),
+                   ["k"], "ts", "start", "end", 0)
+    with pytest.raises(ValueError, match="both sides"):
+        range_join(spark.createDataFrame(pts),
+                   spark.createDataFrame(iv.rename(columns={"iid": "pid"})),
+                   ["k"], "ts", "start", "end", 10**6)
+
+
+def test_range_join_plan_is_equi_join_and_span_counter(spark):
+    from stream_lib_spark.temporal import range_join, range_join_bucket_span
+
+    pts, iv = _rj_fixture(seed=13)
+    pdf, idf = spark.createDataFrame(pts), spark.createDataFrame(iv)
+    plan = range_join(pdf, idf, ["k"], "ts", "start", "end",
+                      10**8)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan[:800]
+    # the work counter: spans shrink as bucket_us grows; total_rows is
+    # the exact explode row count the join shuffles
+    wide = range_join_bucket_span(idf, "start", "end", 10**8)
+    narrow = range_join_bucket_span(idf, "start", "end", 10**6)
+    assert narrow["mean"] > wide["mean"] >= 1.0
+    assert narrow["total_rows"] > wide["total_rows"] >= len(iv)
