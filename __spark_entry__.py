@@ -1959,7 +1959,7 @@ def q_split_gates(spark, sf_dir):
 
 def q_sampling_gates(spark, sf_dir):
     """Deterministic-sampling family gate (round 7): the k=120
-    Efraimidis–Spirtakis weighted sample over documents (weight =
+    Efraimidis–Spirakis weighted sample over documents (weight =
     n_chars; 'weighted' rows carry the sampled doc_id + weight) and the
     cap=15 per-source quota sample ('source_cap' rows carry the SUM of
     kept doc_ids per source — an identity-sensitive checksum, so a

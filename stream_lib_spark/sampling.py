@@ -3,7 +3,7 @@
 Two operators a 100-TB corpus pipeline needs between dedup and packing:
 
 - ``weighted_sample`` — a weighted random sample WITHOUT replacement
-  (Efraimidis–Spirtakis exponential race, "Weighted random sampling
+  (Efraimidis–Spirakis exponential race, "Weighted random sampling
   with a reservoir", IPL 2006): the sample is the k smallest values of
   ``key = -ln(u)/w``.  Because each row's key is a pure function of
   (salt, id, weight), the selection is a MERGEABLE MONOID — the global
@@ -61,28 +61,39 @@ def weighted_sample(df: DataFrame, k: int, weight_col: str,
     """Weighted sample without replacement: the k rows with the
     smallest ``-ln(u)/w`` (u stable per (salt, id)) — each row's
     inclusion probability scales with its weight, exactly the
-    Efraimidis–Spirtakis reservoir draw, computed as a batch top-k.
+    Efraimidis–Spirakis reservoir draw, computed as a batch top-k.
 
-    Rows with null, zero, or negative weight are excluded (they have
-    no defined race time; a zero-weight row must never be drawn).
+    Rows with null, NaN, zero, or negative weight are excluded (they
+    have no defined race time; a zero-weight row must never be drawn).
 
-    Returns the sampled rows with their race ``key`` column attached
-    (callers drop it if unwanted); deterministic: a pure function of
+    Returns the sampled rows with their race time attached as
+    ``ws_key`` (callers drop it if unwanted; an input column of that
+    name raises); deterministic: a pure function of
     (salt, ids, weights) — partitioning, order, and retries cannot
     change the sample.  Merge law: ``weighted_sample(union of shards)``
     == top-k of the union of each shard's ``weighted_sample`` (tested).
+
+    Cross-engine note: u is exactly representable, but ``ln`` is only
+    1-ulp-accurate and libms differ, so two ENGINES (JVM vs DuckDB)
+    could in principle order two keys differently when they agree to
+    within 1 ulp AND straddle the k boundary — vanishingly unlikely for
+    random keys, and within one engine the sample is always stable.
     """
     if k <= 0:
         raise ValueError(f"sample size k must be positive, got {k}")
+    if "ws_key" in df.columns:
+        raise ValueError("input already has a 'ws_key' column — rename it")
     w = F.col(weight_col).cast("double")
-    key = (-F.log(_stable_uniform(id_col, salt)) / w).alias("key")
+    key = (-F.log(_stable_uniform(id_col, salt)) / w).alias("ws_key")
     return (
-        df.where(w.isNotNull() & (w > 0))
+        # NaN check matters: Spark orders NaN greater than any number,
+        # so `w > 0` alone would let NaN-weight rows through
+        df.where(w.isNotNull() & ~F.isnan(w) & (w > 0))
         .select("*", key)
         # id tiebreak: equal keys (a 32-bit bucket collision between
         # equal-weight rows) must not make the k-boundary row depend on
         # partition order
-        .orderBy("key", id_col)
+        .orderBy("ws_key", id_col)
         .limit(k)
     )
 

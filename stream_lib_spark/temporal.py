@@ -62,13 +62,22 @@ def asof_join(left: DataFrame, right: DataFrame, key_cols: list[str],
     winner — the sort is stable only per partition — so dedup the right
     side on (key, ts) upstream when that can occur.  Rows with a null
     ``ts`` on either side are dropped (no defined position on the time
-    axis).
+    axis), and null-KEY right rows never match anything (equi-join
+    semantics: DuckDB ``ASOF JOIN ON l.k = r.k`` and pandas
+    ``merge_asof(by=...)`` both treat NULL != NULL; a window
+    partitionBy would silently group them together instead) — null-key
+    left rows are kept, unmatched.
     """
     if not right_cols:
         raise ValueError("right_cols must name at least one column to carry")
     missing = [c for c in right_cols if c not in right.columns]
     if missing:
         raise ValueError(f"right_cols not in right side: {missing}")
+    key_ok = None
+    for c in key_cols:
+        cond = F.col(c).isNotNull()
+        key_ok = cond if key_ok is None else (key_ok & cond)
+    right = right.where(key_ok)
     payload = F.struct(
         F.col(ts_col).alias("__rts"),
         *[F.col(c).alias(c) for c in right_cols]).alias("__payload")

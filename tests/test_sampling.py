@@ -1,4 +1,4 @@
-"""Deterministic sampling operators: Efraimidis–Spirtakis weighted
+"""Deterministic sampling operators: Efraimidis–Spirakis weighted
 sample (merge law, weight bias, determinism under partitioning) and
 per-source quota caps (append stability, null keys)."""
 
@@ -30,7 +30,7 @@ def test_weighted_sample_merge_law(spark, docs):
               for i in range(3)]
     partials = [weighted_sample(s, 40, "n_chars") for s in shards]
     merged = (partials[0].unionByName(partials[1]).unionByName(partials[2])
-              .orderBy("key", "doc_id").limit(40).select("doc_id").toPandas())
+              .orderBy("ws_key", "doc_id").limit(40).select("doc_id").toPandas())
     assert sorted(full["doc_id"]) == sorted(merged["doc_id"])
 
 
@@ -51,14 +51,19 @@ def test_weighted_sample_bias_follows_weights(spark):
 
 def test_weighted_sample_excludes_nonpositive_weights(spark):
     pdf = pd.DataFrame({
-        "doc_id": ["a", "b", "c", "d"],
-        "w": [1.0, 0.0, -2.0, None],
+        "doc_id": ["a", "b", "c", "d", "e"],
+        # NaN matters separately from null: Spark orders NaN > any
+        # number, so a bare `w > 0` filter would let it through
+        "w": [1.0, 0.0, -2.0, None, float("nan")],
     })
     got = weighted_sample(spark.createDataFrame(pdf), 10, "w",
                           id_col="doc_id").toPandas()
     assert list(got["doc_id"]) == ["a"]
     with pytest.raises(ValueError, match="k must be positive"):
         weighted_sample(spark.createDataFrame(pdf), 0, "w")
+    with pytest.raises(ValueError, match="ws_key"):
+        weighted_sample(spark.createDataFrame(pdf).withColumn(
+            "ws_key", F.lit(1)), 5, "w", id_col="doc_id")
 
 
 def test_source_capped_sample_caps_and_is_append_stable(spark, docs):
@@ -73,10 +78,14 @@ def test_source_capped_sample_caps_and_is_append_stable(spark, docs):
     # the full data too, unless the cap binds (here it binds, so check
     # the exact property: kept(full) restricted to the prefix ==
     # kept(prefix) with the same rows competing — use a below-cap slice)
-    sub = docs.where(F.col("source") == orig.index[0]).limit(10)
+    # materialize the slice ONCE: limit(10) without orderBy may pick
+    # different rows per job, so evaluating it twice is order-fragile
+    sub_pdf = (docs.where(F.col("source") == orig.index[0]).limit(10)
+               .toPandas())
+    sub = spark.createDataFrame(sub_pdf)
     kept_sub = set(source_capped_sample(sub, 25, "source", "doc_id")
                    .toPandas()["doc_id"])
-    assert kept_sub == set(sub.toPandas()["doc_id"])  # 10 <= cap: all kept
+    assert kept_sub == set(sub_pdf["doc_id"])  # 10 <= cap: all kept
 
 
 def test_source_capped_sample_null_keys_form_a_group(spark):

@@ -93,6 +93,23 @@ def test_asof_null_ts_rows_dropped_and_validation(spark):
         asof_join(ldf, rdf, ["k"], "ts", ["nope"])
 
 
+def test_asof_null_keys_never_match(spark):
+    """Equi-join semantics on the key: DuckDB ASOF JOIN and pandas
+    merge_asof(by=...) treat NULL keys as matching nothing; a naive
+    window partitionBy would group them together and fabricate a
+    match."""
+    base = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame({"lid": [0, 1], "k": pd.array([None, 1], dtype="Int64"),
+                         "ts": [base + pd.Timedelta(seconds=9)] * 2})
+    right = pd.DataFrame({"k": pd.array([None, 1], dtype="Int64"),
+                          "ts": [base] * 2, "v": [7.0, 8.0]})
+    got = _got(spark, left, right)
+    # null-key left row kept but UNMATCHED; real key matches normally
+    assert len(got) == 2
+    assert pd.isna(got.loc[got["lid"] == 0, "asof_v"].iloc[0])
+    assert got.loc[got["lid"] == 1, "asof_v"].iloc[0] == 8.0
+
+
 def test_asof_plan_is_single_shuffle_no_pair_explosion(spark):
     """The scale contract: the plan must be union -> one hash shuffle
     on the key -> window — no BroadcastNestedLoopJoin / CartesianProduct
