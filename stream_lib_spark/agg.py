@@ -503,7 +503,21 @@ def merge_partials(partials: DataFrame, keys: list[str], spec: SketchSpec,
             sk.compress()
         yield pd.DataFrame({STATE_COL: [sk.to_bytes()]})
 
-    return partials.repartition(1).mapInPandas(merge_all, schema=out_schema)
+    out = partials.repartition(1).mapInPandas(merge_all, schema=out_schema)
+    if not fan_in:
+        # r8 optimization: when no fan-in level was needed (<= 64
+        # partials), the final fold moves <= 64 small blobs — the same
+        # bytes the single-reducer task would pull.  Mark the DataFrame
+        # so ``collect_sketch`` can collect the PARTIALS directly and
+        # fold on the driver, removing one Exchange + one Python merge
+        # stage + one job per global aggregate (guide §2.4).  Above the
+        # fan-in threshold the distributed tree is kept unchanged, so
+        # cluster-scale behavior is identical.  The DataFrame itself is
+        # untouched — executing it distributed gives the same bytes
+        # (merges are commutative monoids; the associativity law is
+        # pinned by tests/test_fan_in_auto.py).
+        out._slp_driver_fold = (partials, spec, finalize_compress)
+    return out
 
 
 def sketch_agg(df: DataFrame, keys: list[str], col: str, spec: SketchSpec,
@@ -708,7 +722,26 @@ def _merge_multi(partials: DataFrame, keys: list[str], names: list[str],
 
 def collect_sketch(df_or_merged: DataFrame):
     """Collect a single global sketch blob to the driver (one small
-    row — NOT a data collect)."""
+    row — NOT a data collect).
+
+    Fast path (r8): a global ``merge_partials`` result below the fan-in
+    threshold carries its partials DataFrame; collecting those <= 64
+    blobs and folding driver-side skips the repartition(1) exchange,
+    the Python merge stage and one whole job — the driver pulls exactly
+    the bytes the single-reducer task would have pulled.  Bytes are
+    identical (commutative-monoid merges, same fold order)."""
+    fold = getattr(df_or_merged, "_slp_driver_fold", None)
+    if fold is not None:
+        partials, spec, finalize_compress = fold
+        sk = None
+        for r in partials.select(STATE_COL).collect():
+            s = sketch_from_bytes(bytes(r[0]))
+            sk = s if sk is None else sk.merge(s)
+        if sk is None:
+            sk = spec.new()
+        if finalize_compress and isinstance(sk, (TDigest, KLL)):
+            sk.compress()
+        return sk
     row = df_or_merged.select(STATE_COL).collect()
     if len(row) != 1:
         raise ValueError(f"expected one merged sketch row, got {len(row)}")

@@ -45,6 +45,14 @@ def approx_count_distinct(df: DataFrame, col: str, keys: list[str] | None = None
     """HLL++ distinct count → (keys..., approx_distinct double)."""
     keys = keys or []
     merged = sketch_agg(df, keys, col, SketchSpec("hll", p=p), **kw)
+    if not keys and hasattr(merged, "_slp_driver_fold"):
+        # r8: global finalize driver-side (collect_sketch fast path) —
+        # skips the merge exchange/stage AND the ArrowEvalPython
+        # finalize stage; value identical (same sketch bytes)
+        sk = collect_sketch(merged)
+        return df.sparkSession.createDataFrame(
+            [(float(sk.cardinality()),)],
+            T.StructType([T.StructField("approx_distinct", T.DoubleType())]))
     return merged.select(*keys, hll_cardinality(F.col("sketch")).alias("approx_distinct"))
 
 
@@ -54,7 +62,14 @@ def approx_quantiles(df: DataFrame, col: str, qs: list[float],
     keys = keys or []
     spec = SketchSpec(kind, compression=100.0) if kind == "tdigest" else SketchSpec(kind, k=200)
     merged = sketch_agg(df, keys, col, spec, **kw)
-    cols = [quantile_udf(q)(F.col("sketch")).alias(f"q_{str(q).replace('.', '_')}") for q in qs]
+    names = [f"q_{str(q).replace('.', '_')}" for q in qs]
+    if not keys and hasattr(merged, "_slp_driver_fold"):
+        # r8: same driver-side global finalize as approx_count_distinct
+        sk = collect_sketch(merged)
+        return df.sparkSession.createDataFrame(
+            [tuple(float(sk.quantile(q)) for q in qs)],
+            T.StructType([T.StructField(n, T.DoubleType()) for n in names]))
+    cols = [quantile_udf(q)(F.col("sketch")).alias(n) for q, n in zip(qs, names)]
     return merged.select(*keys, *cols)
 
 
@@ -64,6 +79,19 @@ def approx_topk(df: DataFrame, col: str, k: int, capacity: int | None = None,
     keys = keys or []
     cap = capacity or max(4 * k, 64)
     merged = sketch_agg(df, keys, col, SketchSpec("spacesaving", capacity=cap), **kw)
+    if not keys and hasattr(merged, "_slp_driver_fold"):
+        # r8: global finalize driver-side — the merged sketch is one
+        # blob and the explode is k rows; skips merge + explode stages
+        sk = collect_sketch(merged)
+        rows = [(str(item), int(cnt), int(err), i)
+                for i, (item, cnt, err) in enumerate(sk.top_k(k), 1)]
+        schema = T.StructType([
+            T.StructField("item", T.StringType()),
+            T.StructField("count", T.LongType()),
+            T.StructField("error", T.LongType()),
+            T.StructField("rank", T.IntegerType()),
+        ])
+        return df.sparkSession.createDataFrame(rows, schema)
 
     out_fields = [merged.schema[kk] for kk in keys] + [
         T.StructField("item", T.StringType()),

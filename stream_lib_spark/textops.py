@@ -317,7 +317,17 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
     shuffles only (doc, band) rows, never pairs outside shared buckets.
     """
     sigs = _materialize_once(minhash_signatures(docs, num_hashes, shingle, id_col, text_col))
-    banded = _banded_keys(sigs, num_hashes, bands, id_col, with_signature=True)
+    # r8 (guide §2.3 / §8): the band self-join used to carry BOTH
+    # 64-long signature arrays on every exploded band row — ~520 B x
+    # bands(16) per doc per side through the join exchange.  Candidate
+    # generation only needs (id, band, bh); signatures are re-attached
+    # to the DEDUPED pairs (a ~linear, far smaller set) by two narrow
+    # joins against the checkpointed signature table.  The heavy bytes
+    # now cross one exchange each instead of bands-times-two, and the
+    # pair dedup became a HashAggregate over two longs instead of a
+    # Sort + SortAggregate over arrays.  Output identical: the same
+    # candidate set reaches the same est_jaccard verify.
+    banded = _banded_keys(sigs, num_hashes, bands, id_col, with_signature=False)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b.hint("shuffle_hash"), ["band", "bh"])
@@ -325,17 +335,19 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
     est_sim = (
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
         / F.lit(float(num_hashes))
     )
     return (
-        cand.withColumn("est_jaccard", est_sim)
+        cand.join(sa.hint("shuffle_hash"), "id_a")
+        .join(sb.hint("shuffle_hash"), "id_b")
+        .withColumn("est_jaccard", est_sim)
         .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
         .orderBy("id_a", "id_b")
@@ -1114,7 +1126,14 @@ def pii_screen(docs: DataFrame, id_col: str = "doc_id",
     (whole-stage codegen; the regex scan parallelizes perfectly and
     shuffles nothing).  ``with_redaction_delta=True`` adds the
     ``redact_pii`` character delta in the SAME projection, so screening
-    and redaction auditing cost one corpus scan, not two."""
+    and redaction auditing cost one corpus scan, not two.
+
+    r8: the input is routed through ``_ensure_parallelism`` — a
+    single-file corpus (one parquet row group = one scan task) would
+    otherwise run every regex single-threaded; at 10x the fixture that
+    was ~4 s of one core against 31 idle (measured, bench extras).  At
+    scale (input partitions >= cores) it is a no-op.  Per-doc counts
+    and their sums are partition-invariant, so results are unchanged."""
     counts = [
         # null text trivially has no PII: count 0, flag False — not a
         # tri-state NULL that vanishes from both sides of a filter
@@ -1129,7 +1148,8 @@ def pii_screen(docs: DataFrame, id_col: str = "doc_id",
             redacted = F.regexp_replace(redacted, pat, f"[{name.upper()}]")
         extra = [F.coalesce(F.length(redacted) - F.length(text_col), F.lit(0))
                  .alias("redaction_char_delta")]
-    out = docs.select(id_col, *counts, *extra)
+    out = _ensure_parallelism(docs.select(id_col, text_col)).select(
+        id_col, *counts, *extra)
     return out.withColumn(
         "has_pii", sum(F.col(f"n_{name}") for name in PII_PATTERNS) > 0)
 
