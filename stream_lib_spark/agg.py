@@ -261,7 +261,11 @@ def _np_from_arrow(arr, mode: str, python_hash: bool):
     if mode == "ivalue":
         return arr.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
     vc = pa.compute.value_counts(arr)
-    return (np.array(vc.field("values").to_pylist(), dtype=object),
+    # r8: to_numpy converts the Arrow string values in C (one object
+    # array), ~4.5x faster than round-tripping through to_pylist +
+    # np.array for the same object-dtype result (measured 0.68s ->
+    # 0.15s per 1M rows; bytes identical)
+    return (vc.field("values").to_numpy(zero_copy_only=False),
             vc.field("counts").to_numpy())
 
 
@@ -289,6 +293,60 @@ def _arrow_global_build(specs: dict[str, SketchSpec], modes: dict[str, str],
     return build
 
 
+def _total_row_groups(df: DataFrame) -> int | None:
+    """Upper bound on a plain file scan's EFFECTIVE task count: parquet
+    row groups are atomic, so a table of n row groups never scans with
+    more than n non-empty tasks no matter how many byte-range splits
+    Spark makes (a 110 MB single file splits 27 ways but 6 row groups
+    leave 21 tasks empty).  Returns None when it cannot tell cheaply
+    (non-local or non-parquet input) — caller must leave the plan
+    alone.  Driver-side footer reads only; never touches df.rdd (which
+    under AQE executes upstream query stages — the round-2 lesson)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    if len(files) > 8:
+        return len(files)  # many files: parallel enough, exact count moot
+    from urllib.parse import urlparse
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("", "file") or not u.path.endswith(".parquet"):
+            return None
+        try:
+            total += pq.ParquetFile(u.path).metadata.num_row_groups
+        except Exception:
+            return None
+    return total
+
+
+def _spread_serial_scan(prepared: DataFrame) -> DataFrame:
+    """r8 (guide §2.5 input skew / §6): when the input is a provably
+    SERIAL scan (<= 2 parquet row groups in total — at most 2 non-empty
+    scan tasks), spread the already-narrow projection across the
+    cluster with one round-robin exchange so the Python partial build
+    isn't single-threaded.  Measured at the 10x fixture: keyed HLL over
+    a 1M-row single-row-group table 4.9s -> 3.1s.  Deliberately NOT
+    applied above 2 row groups: for a 6-row-group scan the extra
+    exchange costs more than the extra parallelism buys (measured
+    1.65s -> 2.62s).  At cluster scale inputs have many files/row
+    groups, so this is a no-op."""
+    sess = prepared.sparkSession
+    target = sess.sparkContext.defaultParallelism
+    if target <= 2:
+        return prepared
+    rg = _total_row_groups(prepared)
+    if rg is not None and rg <= 2:
+        return prepared.repartition(target)
+    return prepared
+
+
 def sketch_partials(df: DataFrame, keys: list[str], col: str, spec: SketchSpec,
                     hash_mode: str = "xxhash64") -> DataFrame:
     """Partition-local sketch build: one (keys..., sketch BinaryType)
@@ -296,6 +354,7 @@ def sketch_partials(df: DataFrame, keys: list[str], col: str, spec: SketchSpec,
     whole Arrow batches; the global (key-less) path runs ``mapInArrow``
     with zero-copy buffer access — no per-row Python anywhere."""
     prepared, python_hash = _prepare_input(df, keys, col, spec, hash_mode)
+    prepared = _spread_serial_scan(prepared)
 
     if not keys:
         prepared = prepared.withColumnRenamed("__in", f"__in_{STATE_COL}")
@@ -574,7 +633,7 @@ def multi_sketch_agg(df: DataFrame, sketches: dict[str, tuple[str, SketchSpec]],
         else:
             expr = c.cast("string")
         proj.append(expr.alias(f"__in_{name}"))
-    prepared = df.select(*proj)
+    prepared = _spread_serial_scan(df.select(*proj))
 
     key_fields = [prepared.schema[k] for k in keys]
     state_fields = [T.StructField(n, T.BinaryType()) for n in sketches]
@@ -734,8 +793,11 @@ def collect_sketch(df_or_merged: DataFrame):
     if fold is not None:
         partials, spec, finalize_compress = fold
         sk = None
-        for r in partials.select(STATE_COL).collect():
-            s = sketch_from_bytes(bytes(r[0]))
+        # toPandas → Arrow transfer of the binary blobs (the session
+        # enables arrow.pyspark); py4j row collect pickles each ~1 MB
+        # CMS partial through the gateway socket instead
+        for b in partials.select(STATE_COL).toPandas()[STATE_COL]:
+            s = sketch_from_bytes(bytes(b))
             sk = s if sk is None else sk.merge(s)
         if sk is None:
             sk = spec.new()

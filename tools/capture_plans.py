@@ -67,11 +67,36 @@ def main():
     for name, df in dfs.items():
         if only and name not in only:
             continue
+        header = ""
+        # r8: global sketch aggregates below the fan-in threshold are
+        # FINALIZED DRIVER-SIDE by collect_sketch (the partials job is
+        # the only distributed part).  Capture the plan that actually
+        # executes, with a note, instead of the unexecuted distributed
+        # merge tail.
+        fold = getattr(df, "_slp_driver_fold", None)
+        if fold is not None:
+            partials = fold[0]
+            header = (
+                "NOTE (r8): executed topology = the partials plan below "
+                "+ a driver-side fold of its <= 64 output blobs inside "
+                "collect_sketch().  The repartition(1) + MapInPandas "
+                "merge tail of the lazy DataFrame is not executed on "
+                "this path (it remains the execution path above the "
+                "fan-in threshold / for distributed consumers).\n\n")
+            df = partials
         txt = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted")
+        if not header and "LocalTableScan" in txt.splitlines()[1]:
+            header = (
+                "NOTE (r8): this query's global finalize now runs "
+                "driver-side (approx_topk/approx_quantiles fast path): "
+                "the distributed part is exactly the sketch partials "
+                "job (same shape as the corresponding sketch-query "
+                "partials plan); the returned DataFrame is the local "
+                "finalized result below.\n\n")
         path = os.path.join(OUT_DIR, f"{name}_{tag}.txt")
         with open(path, "w") as f:
-            f.write(txt)
+            f.write(header + txt)
         print("wrote", path)
     spark.stop()
 
