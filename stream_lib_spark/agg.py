@@ -293,58 +293,18 @@ def _arrow_global_build(specs: dict[str, SketchSpec], modes: dict[str, str],
     return build
 
 
-def _total_row_groups(df: DataFrame) -> int | None:
-    """Upper bound on a plain file scan's EFFECTIVE task count: parquet
-    row groups are atomic, so a table of n row groups never scans with
-    more than n non-empty tasks no matter how many byte-range splits
-    Spark makes (a 110 MB single file splits 27 ways but 6 row groups
-    leave 21 tasks empty).  Returns None when it cannot tell cheaply
-    (non-local or non-parquet input) — caller must leave the plan
-    alone.  Driver-side footer reads only; never touches df.rdd (which
-    under AQE executes upstream query stages — the round-2 lesson)."""
-    try:
-        files = df.inputFiles()
-    except Exception:
-        return None
-    if not files:
-        return None
-    if len(files) > 8:
-        return len(files)  # many files: parallel enough, exact count moot
-    from urllib.parse import urlparse
-
-    import pyarrow.parquet as pq
-
-    total = 0
-    for f in files:
-        u = urlparse(f)
-        if u.scheme not in ("", "file") or not u.path.endswith(".parquet"):
-            return None
-        try:
-            total += pq.ParquetFile(u.path).metadata.num_row_groups
-        except Exception:
-            return None
-    return total
-
-
-def _spread_serial_scan(prepared: DataFrame) -> DataFrame:
-    """r8 (guide §2.5 input skew / §6): when the input is a provably
-    SERIAL scan (<= 2 parquet row groups in total — at most 2 non-empty
-    scan tasks), spread the already-narrow projection across the
-    cluster with one round-robin exchange so the Python partial build
-    isn't single-threaded.  Measured at the 10x fixture: keyed HLL over
-    a 1M-row single-row-group table 4.9s -> 3.1s.  Deliberately NOT
-    applied above 2 row groups: for a 6-row-group scan the extra
-    exchange costs more than the extra parallelism buys (measured
-    1.65s -> 2.62s).  At cluster scale inputs have many files/row
-    groups, so this is a no-op."""
-    sess = prepared.sparkSession
-    target = sess.sparkContext.defaultParallelism
-    if target <= 2:
-        return prepared
-    rg = _total_row_groups(prepared)
-    if rg is not None and rg <= 2:
-        return prepared.repartition(target)
-    return prepared
+# r8 NOTE (measured, rejected): spreading a serial scan (single parquet
+# row group -> one non-empty scan task) with a repartition of the
+# narrow projection was prototyped for the sketch build and REJECTED on
+# interleaved A/B evidence: on a quiet box the exchange + extra AQE
+# stage costs more than single-task vectorized sketch building saves at
+# every measured size (sf0.1 hll 0.28s -> 0.94s; 10x keyed events
+# 1.00s -> 1.48s).  The numpy kernels are ~0.03-0.11 s per 1M rows, so
+# a serial build only loses past ~10M rows per row group — a layout the
+# generators here never produce.  Heavy-per-row JVM operators are the
+# opposite case: pii_screen (7 regex + 7 replaces per doc) and the
+# tokenize kernels DO pay for the exchange, which is why textops'
+# _ensure_parallelism exists and stays.
 
 
 def sketch_partials(df: DataFrame, keys: list[str], col: str, spec: SketchSpec,
@@ -354,7 +314,6 @@ def sketch_partials(df: DataFrame, keys: list[str], col: str, spec: SketchSpec,
     whole Arrow batches; the global (key-less) path runs ``mapInArrow``
     with zero-copy buffer access — no per-row Python anywhere."""
     prepared, python_hash = _prepare_input(df, keys, col, spec, hash_mode)
-    prepared = _spread_serial_scan(prepared)
 
     if not keys:
         prepared = prepared.withColumnRenamed("__in", f"__in_{STATE_COL}")
@@ -633,7 +592,7 @@ def multi_sketch_agg(df: DataFrame, sketches: dict[str, tuple[str, SketchSpec]],
         else:
             expr = c.cast("string")
         proj.append(expr.alias(f"__in_{name}"))
-    prepared = _spread_serial_scan(df.select(*proj))
+    prepared = df.select(*proj)
 
     key_fields = [prepared.schema[k] for k in keys]
     state_fields = [T.StructField(n, T.BinaryType()) for n in sketches]

@@ -107,31 +107,6 @@ def test_global_count_distinct_fast_path(events):
     assert out["approx_distinct"] == float(sk.cardinality())
 
 
-def test_spread_serial_scan(spark, tmp_path):
-    from stream_lib_spark.agg import _spread_serial_scan, _total_row_groups
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    single = str(tmp_path / "single.parquet")
-    pq.write_table(pa.table({"x": list(range(10_000))}), single)
-    df = spark.read.parquet(single)
-    assert _total_row_groups(df) == 1
-    spread = _spread_serial_scan(df)
-    assert "Repartition" in spread._jdf.queryExecution().analyzed().toString()
-    # results identical, just redistributed
-    assert spread.agg(F.sum("x")).collect() == df.agg(F.sum("x")).collect()
-
-    many = str(tmp_path / "many.parquet")
-    pq.write_table(pa.table({"x": list(range(10_000))}), many, row_group_size=1000)
-    df_many = spark.read.parquet(many)
-    assert _total_row_groups(df_many) == 10
-    assert _spread_serial_scan(df_many) is df_many  # left alone
-
-    local = spark.range(10)  # no input files -> unknown -> left alone
-    assert _spread_serial_scan(local) is local
-
-
 def test_minhash_narrow_join_pairs_match_signature_similarity(spark):
     from stream_lib_spark.textops import minhash_lsh_pairs, minhash_signatures
 
