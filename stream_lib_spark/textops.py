@@ -227,8 +227,24 @@ def _materialize_once(df: DataFrame) -> DataFrame:
     sides of a self-join is computed once (Spark re-executes shared
     subplans unless an exchange is reused; the eager storage cost is one
     small (id, signature) table, not the corpus).  localCheckpoint
-    blocks live in executor storage and are released with the RDD."""
-    return df.localCheckpoint(eager=False)
+    blocks live in executor storage and are released with the RDD.
+
+    r8: blocks are stored SERIALIZED (MEMORY_AND_DISK_SER, Spark 4's
+    storageLevel parameter).  The default deserialized level held the
+    26M-row gram table of the 10x-sf1 trend fixture as Java object rows
+    — measured 11.4 GB of a 16 g heap for the materialization alone,
+    the main contributor to the r7 sf1 scale_trend OOM; serialized
+    blocks cut the session peak to well under half and spill to disk
+    under pressure instead of dying.  (persist() would be smaller still
+    — columnar compressed — but CacheManager holds cache entries until
+    explicit unpersist, which leaks across repeated operator calls;
+    checkpoint RDD blocks are freed by the ContextCleaner when the
+    DataFrame is garbage-collected.)"""
+    from pyspark.storagelevel import StorageLevel
+
+    # pyspark's MEMORY_AND_DISK constant is the serialized variant
+    # (deserialized=False); the old default was MEMORY_AND_DISK_DESER
+    return df.localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
 
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 64, shingle: int = 5,
@@ -688,9 +704,16 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
         # joins count disjoint shared-gram sets whose union is exact.
         hot = hot_keys(grams, "gram", max_gram_doc_freq)
         capped = grams.join(F.broadcast(hot), "gram", "left_anti")
+        # r8: NO shuffle_hash hint here — the build side is the whole
+        # capped gram table (46M rows at the 10x-sf1 fixture, ~6 GB as
+        # a hash relation), and a forced hash build cannot spill; it
+        # drove the session's peak heap to 17.7 GB against a 16 g limit
+        # (the r7 sf1 scale_trend OOM).  Sort-merge spills gracefully
+        # and the sort cost is dwarfed by the candidate-pair aggregation
+        # (guide §3.1).  The small joins below keep their hints.
         i_cap = (
             _with_count(capped, "a")
-            .join(_with_count(capped, "b").hint("shuffle_hash"), "gram")
+            .join(_with_count(capped, "b"), "gram")
             .where((F.col("id_a") < F.col("id_b")) & len_ok)
             .groupBy("id_a", "id_b")
             .agg(F.count("*").alias("n_cap"))

@@ -263,6 +263,14 @@ def run(spark) -> dict:
 if __name__ == "__main__":
     from stream_lib_spark.jobs.session import get_spark
 
+    # r8: at a 10x-of-sf1 corpus (500k docs) the gram/pair aggregations
+    # legitimately fill a 16 g heap's execution memory and the session
+    # runs all eight operators back-to-back; the r7 driver artifact
+    # recorded this section dying with a heap OOM.  This harness
+    # subprocess (not the library, not bench.py) defaults to a larger
+    # heap — the sandbox has 128 GiB and the section runs alone.
+    # SPARK_GRAFT_DRIVER_MEM still overrides.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "28g")
     spark = get_spark("bench-scale-trend")
     # ONE line: bench.py runs this as a subprocess and parses the last
     # stdout line (full process isolation — a stopped SparkContext's JVM
