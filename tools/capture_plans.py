@@ -86,7 +86,8 @@ def main():
             df = partials
         txt = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted")
-        if not header and "LocalTableScan" in txt.splitlines()[1]:
+        root = txt.splitlines()[1] if len(txt.splitlines()) > 1 else ""
+        if not header and ("LocalTableScan" in root or "Scan ExistingRDD" in root):
             header = (
                 "NOTE (r8): this query's global finalize now runs "
                 "driver-side (approx_topk/approx_quantiles fast path): "
