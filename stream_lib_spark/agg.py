@@ -272,20 +272,64 @@ def _np_from_arrow(arr, mode: str, python_hash: bool):
 def _arrow_global_build(specs: dict[str, SketchSpec], modes: dict[str, str],
                         python_hash: bool):
     """mapInArrow kernel: fold every batch of a partition into one
-    sketch per name; emit a single binary row."""
+    sketch per name; emit a single binary row.
+
+    r8: item-mode columns feeding Space-Saving / bottom-k are BUFFERED
+    and folded in large flushes (same bounded-buffer pattern and
+    ~4M-row bound as the keyed path) instead of once per ~64k-row Arrow
+    batch: one C++ value_counts + one update over the combined chunk
+    replaces dozens, cutting the per-batch unique-count / truncation
+    overhead ~4x.  Scoped to exactly these two kinds because their
+    gate-checked outputs are batching-invariant (Space-Saving gates run
+    in the exact regime where any batching yields identical bytes, the
+    heavy-hitter guarantee holds under any fold, and bottom-k is a pure
+    min-k of hashes); reference-family and count-then-estimate item
+    sketches keep per-batch folds — their internal tip-over points are
+    batch-order-sensitive."""
+    _ITEM_BUFFERED_KINDS = ("spacesaving", "bottomk")
+    _FLUSH_ROWS = 1 << 22
 
     def build(batches):
         states = {n: specs[n].new() for n in specs}
+        buffered = [
+            n for n, spec in specs.items()
+            if modes[n] == "item" and spec.kind in _ITEM_BUFFERED_KINDS
+            and not spec.reference_family
+        ]
+        bufs: dict[str, list] = {n: [] for n in buffered}
+        buf_rows = 0
+
+        def flush():
+            nonlocal buf_rows
+            for n in buffered:
+                if not bufs[n]:
+                    continue
+                arr = pa.chunked_array(bufs[n])
+                bufs[n] = []
+                got = _np_from_arrow(arr, "item", python_hash)
+                if got is not None:
+                    specs[n].update(states[n], got[0], got[1])
+            buf_rows = 0
+
         for rb in batches:
             tbl = pa.Table.from_batches([rb])
             for n, spec in specs.items():
-                got = _np_from_arrow(tbl.column(f"__in_{n}"), modes[n], python_hash)
+                col = tbl.column(f"__in_{n}")
+                if n in bufs:
+                    bufs[n].append(col.combine_chunks())
+                    continue
+                got = _np_from_arrow(col, modes[n], python_hash)
                 if got is None:
                     continue
                 if modes[n] == "item":
                     spec.update(states[n], got[0], got[1])
                 else:
                     spec.update(states[n], got)
+            if buffered:
+                buf_rows += rb.num_rows
+                if buf_rows >= _FLUSH_ROWS:
+                    flush()
+        flush()
         yield pa.RecordBatch.from_pydict(
             {n: pa.array([states[n].to_bytes()], type=pa.binary()) for n in specs}
         )
