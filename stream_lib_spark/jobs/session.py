@@ -94,6 +94,16 @@ def get_spark(app_name: str = "stream_lib_spark", cpus: int | None = None,
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # r8: let AQE convert a shuffle join to broadcast when the
+        # RUNTIME-measured build side is <= this (static planning keeps
+        # the conservative 10m default).  Gated on actual stage stats,
+        # so it self-disables at scale: a 100-TB signature/gram table
+        # measures far above the bound and keeps its shuffle join,
+        # while the same query on a small slice skips two exchanges.
+        # 64m is modest executor memory anywhere (guide §3.1); override
+        # per deployment via SPARK_GRAFT_ADAPTIVE_BCAST.
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
+                os.environ.get("SPARK_GRAFT_ADAPTIVE_BCAST", "64m"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")

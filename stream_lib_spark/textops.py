@@ -360,9 +360,16 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
         / F.lit(float(num_hashes))
     )
+    # r8: no forced strategy on the re-attach joins — the planner's
+    # default (sort-merge) spills gracefully when the signature table is
+    # genuinely large, and AQE's runtime-stat broadcast conversion
+    # (session conf, 64m bound) collapses both joins plus the est filter
+    # into the candidate stage whenever the measured sig table fits —
+    # measured 3.31s -> 2.26s for the full pair query at the 10x layout
+    # (min-of-4 interleaved), identical output rows.
     return (
-        cand.join(sa.hint("shuffle_hash"), "id_a")
-        .join(sb.hint("shuffle_hash"), "id_b")
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn("est_jaccard", est_sim)
         .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
