@@ -131,3 +131,20 @@ def test_minhash_narrow_join_pairs_match_signature_similarity(spark):
         expect = float(Decimal(repr(float(est))).quantize(Decimal("0.0001"), ROUND_HALF_UP))
         assert expect == p.est_jaccard
         assert est >= 0.5
+
+
+def test_minhash_pair_join_plan_shape(spark):
+    """The re-attach joins carry no forced strategy (r8 second session):
+    the band self-join stays the analyzed shuffle_hash, and nothing in
+    the plan degenerates to a cartesian/nested-loop product whatever
+    strategy Catalyst or AQE picks for the signature re-attach."""
+    from stream_lib_spark.textops import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta eta theta doc {i}") for i in range(40)],
+        "doc_id long, text string")
+    df = minhash_lsh_pairs(docs, threshold=0.5)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("ShuffledHashJoin") == 1, tree  # the band self-join only
+    assert "CartesianProduct" not in tree and "BroadcastNestedLoopJoin" not in tree, tree
