@@ -197,3 +197,41 @@ def murmur64a_chunked(data: np.ndarray, offsets: np.ndarray,
             buf = data[starts[sel][:, None] + np.arange(L, dtype=np.int64)[None, :]]
             out[sel] = _murmur64a_fixed(buf, int(L), seed)
     return out
+
+
+# ---------------------------------------------------------------------------
+# XXH64 (Spark ``xxhash64`` parity) — written from the public xxHash
+# specification (Yann Collet, BSD 2-clause).  Spark's ``F.xxhash64`` over
+# a LongType column hashes each value's 8-byte little-endian encoding
+# with seed 42; bit parity with the JVM is pinned by
+# tests/test_direct_scan.py (golden literals + random fuzz).
+
+_XXP1 = U64(0x9E3779B185EBCA87)
+_XXP2 = U64(0xC2B2AE3D27D4EB4F)
+_XXP3 = U64(0x165667B19E3779F9)
+_XXP4 = U64(0x85EBCA77C2B2AE63)
+_XXP5 = U64(0x27D4EB2F165667C5)
+
+SPARK_XXHASH64_SEED = 42  # Spark's default seed for xxhash64/hash exprs
+
+
+def _rotl64(x: np.ndarray, r: int) -> np.ndarray:
+    ru = U64(r)
+    return (x << ru) | (x >> (U64(64) - ru))
+
+
+def xxhash64_long(values: np.ndarray, seed: int | np.uint64 = SPARK_XXHASH64_SEED) -> np.ndarray:
+    """Vectorized XXH64 of each int64 value (8-byte little-endian input,
+    i.e. exactly what Spark's ``xxhash64(longCol)`` computes).  Returns
+    int64 (Spark's signed representation)."""
+    with np.errstate(over="ignore"):
+        x = np.asarray(values).astype(np.int64, copy=False).view(U64)
+        h = U64(int(seed) & 0xFFFFFFFFFFFFFFFF) + _XXP5 + U64(8)
+        k1 = _rotl64(x * _XXP2, 31) * _XXP1
+        h = _rotl64(h ^ k1, 27) * _XXP1 + _XXP4
+        h ^= h >> U64(33)
+        h *= _XXP2
+        h ^= h >> U64(29)
+        h *= _XXP3
+        h ^= h >> U64(32)
+    return h.view(np.int64)

@@ -83,9 +83,18 @@ class BloomFilter:
 
     # ---------------------------------------------------------------- ops
 
+    # r8: bound the (k, chunk) position intermediates to stay
+    # cache-resident — one 1M-row call built a ~56 MB raveled scatter
+    # index and measured 0.95 s/M rows vs 0.17 s/M at sub-L3 sizes.
+    # Chunking changes nothing observable: bit OR is a commutative
+    # monoid, so bytes are identical for any split (pinned by the
+    # byte-identity rows in tests/test_direct_scan.py).
+    _ADD_CHUNK = 1 << 16
+
     def add_hashed(self, hashes: np.ndarray) -> "BloomFilter":
-        pos = self._bucket_matrix(hashes).ravel()
-        np.bitwise_or.at(self.bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        for lo in range(0, len(hashes), self._ADD_CHUNK):
+            pos = self._bucket_matrix(hashes[lo:lo + self._ADD_CHUNK]).ravel()
+            np.bitwise_or.at(self.bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
         self.count += len(hashes)
         return self
 

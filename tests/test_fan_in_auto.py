@@ -96,12 +96,21 @@ def test_global_sketch_agg_plan_shape(spark):
     partition-local MapInArrow partials → ONE exchange carrying only
     sketch blobs → single MapInPandas fold.  A second exchange or an
     unpruned scan is a scale regression."""
+    import os
     import re
 
     from stream_lib_spark.agg import SketchSpec, sketch_agg
 
     df = spark.read.parquet(f"{SF}/lineitem.parquet")
-    out = sketch_agg(df, [], "l_orderkey", SketchSpec("hll", p=12))
+    # r8: a bare parquet scan takes the direct row-group read path by
+    # default (no parquet Scan node — tasks read the column chunks
+    # themselves); the classic pin below runs with the kill switch off,
+    # the direct shape is pinned after it.
+    os.environ["SPARK_GRAFT_DIRECT_SCAN"] = "0"
+    try:
+        out = sketch_agg(df, [], "l_orderkey", SketchSpec("hll", p=12))
+    finally:
+        os.environ.pop("SPARK_GRAFT_DIRECT_SCAN", None)
     plan = _plan(out)
     # one Exchange NODE (it prints once in the tree and once in detail)
     node_ids = {m for m in re.findall(r"\((\d+)\) Exchange", plan)}
@@ -111,3 +120,17 @@ def test_global_sketch_agg_plan_shape(spark):
     # it in the formatted tree (root prints first)
     tree = plan[: plan.index("(1) Scan")]
     assert tree.index("MapInPandas") < tree.index("Exchange") < tree.index("MapInArrow")
+
+    # direct path (default above the row threshold; the fixture is tiny,
+    # so lower it): the sketch feed has NO parquet Scan and no exchange
+    # below the partials — the only exchange is the blob fold's
+    os.environ["SPARK_GRAFT_DIRECT_SCAN_MIN_ROWS"] = "0"
+    try:
+        direct = sketch_agg(df, [], "l_orderkey", SketchSpec("hll", p=12))
+    finally:
+        os.environ.pop("SPARK_GRAFT_DIRECT_SCAN_MIN_ROWS", None)
+    dplan = _plan(direct)
+    assert "ReadSchema" not in dplan  # no JVM parquet feed of data rows
+    node_ids = {m for m in re.findall(r"\((\d+)\) Exchange", dplan)}
+    assert len(node_ids) == 1  # still exactly one blob exchange
+    assert "MapInArrow" in dplan and "Range" in dplan  # pure-JVM task feed
