@@ -381,10 +381,20 @@ def _arrow_global_build(specs: dict[str, SketchSpec], modes: dict[str, str],
 _DIRECT_SCAN_KINDS = ("hll", "cms", "tdigest", "kll", "bloom")
 
 
-def _direct_scan_tasks(df: DataFrame, col: str, want: "pa.DataType") -> list | None:
+#: kinds safe for the KEYED direct build: their per-key merged state is
+#: a batching-invariant monoid, so the result is byte-identical to the
+#: classic path no matter how partial boundaries move.  tdigest/kll are
+#: excluded here (unlike the global whitelist) because keyed quantile
+#: queries expose per-key estimates directly.
+_DIRECT_SCAN_KEYED_KINDS = ("hll", "cms", "bloom")
+
+
+def _direct_scan_tasks(df: DataFrame, cols: list, wants: list) -> list | None:
     """Return [(local_path, row_group_index)] for a bare local parquet
     scan of ``df`` (row_group_index -1 = whole file), or None if the
-    plan/layout is not provably eligible."""
+    plan/layout is not provably eligible.  ``cols``/``wants`` are the
+    columns the build will read and their expected arrow types (a
+    string column accepts large_string — same values either way)."""
     try:
         plan = df._jdf.queryExecution().analyzed()
         if plan.getClass().getSimpleName() != "LogicalRelation":
@@ -425,9 +435,15 @@ def _direct_scan_tasks(df: DataFrame, col: str, want: "pa.DataType") -> list | N
             total_rows = 0
             for p in paths:
                 pf = pq.ParquetFile(p)
-                idx = pf.schema_arrow.get_field_index(col)
-                if idx < 0 or pf.schema_arrow.field(idx).type != want:
-                    return None  # heterogeneous/renamed column: fall back
+                for c, want in zip(cols, wants):
+                    idx = pf.schema_arrow.get_field_index(c)
+                    if idx < 0:
+                        return None  # renamed/missing column: fall back
+                    got = pf.schema_arrow.field(idx).type
+                    if got != want and not (
+                        want == pa.string() and got == pa.large_string()
+                    ):
+                        return None  # heterogeneous column: fall back
                 total_rows += pf.metadata.num_rows
                 tasks.extend((p, rg) for rg in range(pf.metadata.num_row_groups))
             if total_rows < min_rows:
@@ -482,34 +498,80 @@ def _direct_scan_build(tasks: list, col: str, spec: SketchSpec,
     return build
 
 
-def _direct_parquet_partials(df: DataFrame, col: str, spec: SketchSpec,
-                             hash_mode: str) -> DataFrame | None:
-    """Fast global partial build reading parquet row groups directly in
-    the Python tasks.  Returns None (caller uses the classic path)
-    unless every eligibility guard holds; results are byte-identical to
-    the classic path (pinned by tests/test_direct_scan.py)."""
+def _direct_scan_keyed_build(tasks: list, keys: list, col: str,
+                             spec: SketchSpec, out_cols: list):
+    """mapInPandas kernel for the KEYED direct build: each task reads
+    keys+value columns of its row groups, drops value-null rows in
+    Arrow (a pandas round trip first would flip an int64 value column
+    with nulls to float64), folds per-key states across all its row
+    groups and emits one (keys..., sketch) row per key — the same
+    contract, grouping semantics (null keys kept: dropna=False) and
+    per-key fold as the classic keyed build."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        states: dict[tuple, object] = {}
+        for pdf_ids in batches:
+            for i in pdf_ids["id"]:
+                p, rg = tasks[int(i)]
+                pf = pq.ParquetFile(p)
+                tbl = (pf.read_row_group(rg, columns=keys + [col]) if rg >= 0
+                       else pf.read(columns=keys + [col]))
+                vcol = tbl.column(len(keys))
+                if vcol.null_count:
+                    tbl = tbl.filter(pc.is_valid(tbl.column(len(keys))))
+                if tbl.num_rows == 0:
+                    continue
+                pdf = tbl.to_pandas()
+                for key, sub in pdf.groupby(keys, dropna=False, sort=False)[col]:
+                    key = key if isinstance(key, tuple) else (key,)
+                    hashes = xxhash64_long(sub.to_numpy())
+                    sk = states.get(key)
+                    if sk is None:
+                        sk = states[key] = spec.new()
+                    spec.update(sk, hashes)
+        rows = [list(k) + [s.to_bytes()] for k, s in states.items()]
+        yield pd.DataFrame(rows, columns=out_cols)
+
+    return build
+
+
+def _direct_parquet_partials(df: DataFrame, keys: list[str], col: str,
+                             spec: SketchSpec, hash_mode: str) -> DataFrame | None:
+    """Fast partial build reading parquet row groups directly in the
+    Python tasks.  Returns None (caller uses the classic path) unless
+    every eligibility guard holds; results are byte-identical to the
+    classic path for the monoid kinds (pinned by
+    tests/test_direct_scan.py)."""
     if os.environ.get("SPARK_GRAFT_DIRECT_SCAN", "1") != "1":
         return None
-    if spec.reference_family or spec.kind not in _DIRECT_SCAN_KINDS:
+    allowed = _DIRECT_SCAN_KEYED_KINDS if keys else _DIRECT_SCAN_KINDS
+    if spec.reference_family or spec.kind not in allowed:
         return None
     if spec.kind == "cms" and spec.params.get("conservative"):
         return None
     mode = spec.input_mode
     try:
         dtype = df.schema[col].dataType
+        key_types = [df.schema[k].dataType for k in keys]
     except Exception:
         return None
+    if keys and not all(isinstance(t, T.StringType) for t in key_types):
+        return None  # the keyed build groups via pandas; string keys only
     if mode == "hash":
         if hash_mode != "xxhash64" or not isinstance(dtype, T.LongType):
             return None
         want = pa.int64()
     elif mode == "value":
-        if not isinstance(dtype, T.DoubleType):
+        if keys or not isinstance(dtype, T.DoubleType):
             return None
         want = pa.float64()
     else:
         return None
-    tasks = _direct_scan_tasks(df, col, want)
+    tasks = _direct_scan_tasks(df, keys + [col],
+                               [pa.string()] * len(keys) + [want])
     if not tasks:
         return None
     sess = df.sparkSession
@@ -518,8 +580,17 @@ def _direct_parquet_partials(df: DataFrame, col: str, spec: SketchSpec,
     # — two extra worker crossings per task, measured ~0.4 s of fixed
     # overhead at sf0.1)
     tdf = sess.range(0, len(tasks), 1, numPartitions=len(tasks))
-    out = tdf.mapInArrow(_direct_scan_build(tasks, col, spec, want),
-                         schema=f"{STATE_COL} binary")
+    if keys:
+        key_fields = [df.schema[k] for k in keys]
+        out_schema = T.StructType(
+            key_fields + [T.StructField(STATE_COL, T.BinaryType())])
+        out = tdf.mapInPandas(
+            _direct_scan_keyed_build(tasks, keys, col, spec,
+                                     keys + [STATE_COL]),
+            schema=out_schema)
+    else:
+        out = tdf.mapInArrow(_direct_scan_build(tasks, col, spec, want),
+                             schema=f"{STATE_COL} binary")
     # unlike the classic path, the partial count is KNOWN exactly here;
     # let merge_partials size the fan-in level from it instead of the
     # shuffle-conf upper bound
@@ -547,10 +618,9 @@ def sketch_partials(df: DataFrame, keys: list[str], col: str, spec: SketchSpec,
     row per key per input partition.  Vectorized: numpy kernels over
     whole Arrow batches; the global (key-less) path runs ``mapInArrow``
     with zero-copy buffer access — no per-row Python anywhere."""
-    if not keys:
-        direct = _direct_parquet_partials(df, col, spec, hash_mode)
-        if direct is not None:
-            return direct
+    direct = _direct_parquet_partials(df, keys, col, spec, hash_mode)
+    if direct is not None:
+        return direct
     prepared, python_hash = _prepare_input(df, keys, col, spec, hash_mode)
 
     if not keys:

@@ -69,10 +69,10 @@ def test_min_rows_threshold(spark, sf_dir):
     hll = SketchSpec("hll", p=12)
     os.environ["SPARK_GRAFT_DIRECT_SCAN_MIN_ROWS"] = str(10**12)
     try:
-        assert _direct_parquet_partials(li, "l_orderkey", hll, "xxhash64") is None
+        assert _direct_parquet_partials(li, [], "l_orderkey", hll, "xxhash64") is None
     finally:
         os.environ["SPARK_GRAFT_DIRECT_SCAN_MIN_ROWS"] = "0"
-    assert _direct_parquet_partials(li, "l_orderkey", hll, "xxhash64") is not None
+    assert _direct_parquet_partials(li, [], "l_orderkey", hll, "xxhash64") is not None
 
 
 def test_xxhash64_long_golden_and_fuzz(spark):
@@ -100,7 +100,7 @@ def test_xxhash64_long_golden_and_fuzz(spark):
 def test_monoid_kinds_byte_identical(spark, sf_dir, col, spec):
     for d in (sf_dir, SF_CORRECTNESS):  # sparse AND denser HLL regimes
         df = spark.read.parquet(f"{d}/lineitem.parquet")
-        assert _direct_parquet_partials(df, col, spec, "xxhash64") is not None
+        assert _direct_parquet_partials(df, [], col, spec, "xxhash64") is not None
         direct, classic = _both(df, col, spec)
         assert direct.to_bytes() == classic.to_bytes()
 
@@ -119,7 +119,7 @@ def test_multi_row_group_file_with_nulls(spark, tmp_path):
     assert pq.ParquetFile(path).metadata.num_row_groups > 4
     df = spark.read.parquet(path)
     spec = SketchSpec("hll", p=12)
-    tasks = _direct_parquet_partials(df, "k", spec, "xxhash64")
+    tasks = _direct_parquet_partials(df, [], "k", spec, "xxhash64")
     assert tasks is not None
     direct, classic = _both(df, "k", spec)
     assert direct.to_bytes() == classic.to_bytes()
@@ -145,27 +145,83 @@ def test_quantile_kinds_deterministic_and_within_bound(spark):
             assert abs(rank - q) <= bound
 
 
+def _both_keyed(df, keys, col, spec):
+    def run():
+        out = sketch_agg(df, keys, col, spec).toPandas()
+        out["sketch"] = out["sketch"].map(bytes)
+        return out.sort_values(keys, na_position="first",
+                               ignore_index=True)
+    os.environ["SPARK_GRAFT_DIRECT_SCAN"] = "1"
+    direct = run()
+    os.environ["SPARK_GRAFT_DIRECT_SCAN"] = "0"
+    classic = run()
+    os.environ.pop("SPARK_GRAFT_DIRECT_SCAN", None)
+    return direct, classic
+
+
+def test_keyed_byte_identical(spark, sf_dir):
+    """Keyed direct build (string keys, hash-mode long value): per-key
+    merged state must be byte-identical to the classic keyed path."""
+    ev = spark.read.parquet(f"{SF_CORRECTNESS}/events.parquet")
+    for spec in (SketchSpec("hll", p=12),
+                 SketchSpec("cms", eps=1e-3, confidence=0.99)):
+        assert _direct_parquet_partials(
+            ev, ["event_type"], "user_id", spec, "xxhash64") is not None
+        direct, classic = _both_keyed(ev, ["event_type"], "user_id", spec)
+        assert direct.equals(classic)
+
+
+def test_keyed_null_keys_and_values(spark, tmp_path):
+    """Null KEYS form their own group (dropna=False) and null VALUES
+    are dropped before grouping — identical to the classic path, on a
+    multi-row-group file so partial boundaries differ."""
+    rng = np.random.default_rng(11)
+    n = 30_000
+    keys = pa.array([None if r < 0.1 else f"k{int(r * 4)}"
+                     for r in rng.random(n)], type=pa.string())
+    vals = pa.array([None if r < 0.07 else int(r * 10_000)
+                     for r in rng.random(n)], type=pa.int64())
+    path = str(tmp_path / "keyed_rg.parquet")
+    pq.write_table(pa.table({"k": keys, "v": vals}), path,
+                   row_group_size=4_000)
+    df = spark.read.parquet(path)
+    spec = SketchSpec("hll", p=12)
+    assert _direct_parquet_partials(df, ["k"], "v", spec, "xxhash64") is not None
+    direct, classic = _both_keyed(df, ["k"], "v", spec)
+    assert direct.equals(classic)
+    assert direct["k"].isna().any()  # the null-key group survived
+
+
+def test_keyed_ineligible_shapes(spark, sf_dir):
+    ev = spark.read.parquet(f"{SF_CORRECTNESS}/events.parquet")
+    # long key column: the keyed build groups via pandas, string keys only
+    assert _direct_parquet_partials(
+        ev, ["user_id"], "event_id", SketchSpec("hll", p=12), "xxhash64") is None
+    # keyed quantile kinds expose per-key estimates: excluded
+    assert _direct_parquet_partials(
+        ev, ["event_type"], "value",
+        SketchSpec("tdigest", compression=100.0), "xxhash64") is None
+
+
 def test_ineligible_shapes_fall_back(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     hll = SketchSpec("hll", p=12)
-    assert _direct_parquet_partials(li.where(F.col("l_orderkey") > 5),
+    assert _direct_parquet_partials(li.where(F.col("l_orderkey") > 5), [],
                                     "l_orderkey", hll, "xxhash64") is None
-    assert _direct_parquet_partials(li.select("l_orderkey"),
+    assert _direct_parquet_partials(li.select("l_orderkey"), [],
                                     "l_orderkey", hll, "xxhash64") is None
-    assert _direct_parquet_partials(li.limit(10),
+    assert _direct_parquet_partials(li.limit(10), [],
                                     "l_orderkey", hll, "xxhash64") is None
-    assert _direct_parquet_partials(li, "l_orderkey", hll, "murmur64") is None
-    assert _direct_parquet_partials(li, "l_returnflag", hll, "xxhash64") is None
-    assert _direct_parquet_partials(
-        li, "l_quantity", SketchSpec("qdigest", compression_factor=64),
+    assert _direct_parquet_partials(li, [], "l_orderkey", hll, "murmur64") is None
+    assert _direct_parquet_partials(li, [], "l_returnflag", hll, "xxhash64") is None
+    assert _direct_parquet_partials(li, [], "l_quantity", SketchSpec("qdigest", compression_factor=64),
         "xxhash64") is None
-    assert _direct_parquet_partials(
-        li, "l_partkey",
+    assert _direct_parquet_partials(li, [], "l_partkey",
         SketchSpec("cms", eps=1e-3, confidence=0.99, conservative=True),
         "xxhash64") is None
     os.environ["SPARK_GRAFT_DIRECT_SCAN"] = "0"
     try:
-        assert _direct_parquet_partials(li, "l_orderkey", hll, "xxhash64") is None
+        assert _direct_parquet_partials(li, [], "l_orderkey", hll, "xxhash64") is None
     finally:
         os.environ.pop("SPARK_GRAFT_DIRECT_SCAN", None)
     # and the fallback computes the same bytes as the engaged path
