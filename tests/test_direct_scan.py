@@ -145,6 +145,41 @@ def test_quantile_kinds_deterministic_and_within_bound(spark):
             assert abs(rank - q) <= bound
 
 
+def test_many_row_groups_fan_in_and_no_footer_mode(spark, tmp_path):
+    """Above 64 tasks the direct partials go through the auto fan-in
+    merge level (sized from the exact task count); above the footer
+    budget each file becomes one whole-file task.  Both must stay
+    byte-identical to the classic path."""
+    rng = np.random.default_rng(3)
+    vals = pa.array(rng.integers(0, 5_000, size=70_000), type=pa.int64())
+    path = str(tmp_path / "many_rg.parquet")
+    pq.write_table(pa.table({"k": vals}), path, row_group_size=1_000)
+    assert pq.ParquetFile(path).metadata.num_row_groups == 70  # > 64 tasks
+    df = spark.read.parquet(path)
+    spec = SketchSpec("hll", p=12)
+    partials = _direct_parquet_partials(df, [], "k", spec, "xxhash64")
+    assert partials is not None and partials._slp_n_partials == 70
+    direct, classic = _both(df, "k", spec)
+    assert direct.to_bytes() == classic.to_bytes()
+
+    # no-footer mode: file count above the driver's footer budget →
+    # one whole-file task, row threshold waived (scale implied)
+    ddir = tmp_path / "two_files.parquet"
+    ddir.mkdir()
+    pq.write_table(pa.table({"k": vals[:30_000]}), str(ddir / "a.parquet"))
+    pq.write_table(pa.table({"k": vals[30_000:]}), str(ddir / "b.parquet"))
+    df2 = spark.read.parquet(str(ddir))
+    os.environ["SPARK_GRAFT_DIRECT_SCAN_MAX_FOOTERS"] = "1"
+    try:
+        partials = _direct_parquet_partials(df2, [], "k", spec, "xxhash64")
+        assert partials is not None and partials._slp_n_partials == 2
+        direct, _ = _both(df2, "k", spec)
+    finally:
+        os.environ.pop("SPARK_GRAFT_DIRECT_SCAN_MAX_FOOTERS", None)
+    _, classic = _both(df2, "k", spec)
+    assert direct.to_bytes() == classic.to_bytes()
+
+
 def _both_keyed(df, keys, col, spec):
     def run():
         out = sketch_agg(df, keys, col, spec).toPandas()
